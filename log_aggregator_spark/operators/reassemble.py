@@ -1,0 +1,206 @@
+"""Reassembly — the heart of the engine.
+
+Reproduces the reference decoder's semantics (SURVEY.md §2 S10–S13):
+
+* total order per stream: (doc_id, session, seq)
+  (``/root/reference/datadecoder/.../PBLogFileComparator.java:14-26``)
+* duplicate chunks appear once
+  (``/root/reference/datadecoder/.../PBLogFileCollector.java:67-70``)
+* monotone-sequence gate: append iff ``seq == last+1``; a gap holds back the
+  entire suffix (``/root/reference/datadecoder/.../DataPumpDecoderSort.java:142-181``)
+* init rule: if nothing was ever consumed (``last == 0``) accept ANY first
+  seq — "start mid-stream" (``DataPumpDecoderSort.java:167-174``)
+* resume: per-(doc_id, session) ``last_seq`` checkpoint
+  (``/root/reference/datadecoder/.../SequenceTracker.java:105-113`` — absent ⇒ 0)
+
+Two physical strategies, same semantics (cross-checked in tests):
+
+``reassemble``      — ``groupBy(doc_id, session).applyInPandas`` with a fully
+                      numpy-vectorized kernel. One shuffle on the group key;
+                      per-key single-writer discipline falls out of Spark's
+                      partitioning (the reference needed a dedicated
+                      single-threaded executor for this,
+                      ``datadecoder/.../AppConfig.java:16-27``).
+``reassemble_sql``  — pure built-in window/aggregate plan (lag-free gap cut via
+                      ``seq - row_number()``), whole-stage codegen, no Python.
+
+At 100 TB: both shuffle once on (doc_id, session) — the minimum possible, since
+reassembly is a per-stream total order. AQE handles skew in doc sizes; the
+pandas variant bounds memory per group by the doc length (≤ a few MB), the SQL
+variant spills via Tungsten sort. ``reassemble_sql`` is the default in the
+pipeline (codegen beats Arrow transfer; see BENCH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = (
+    "doc_id string, session long, tokens array<int>, n_tok long, source string, "
+    "last_seq_out long"
+)
+
+
+def _with_last_seq(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
+    """Attach resume state. The checkpoint table is small (one row per live
+    stream) → broadcast, never a shuffle."""
+    if checkpoint is None:
+        return parsed.withColumn("last_seq", F.lit(0).cast("long"))
+    return parsed.join(
+        F.broadcast(checkpoint.select("doc_id", "session", "last_seq")),
+        ["doc_id", "session"],
+        "left",
+    ).withColumn("last_seq", F.coalesce(F.col("last_seq"), F.lit(0)).cast("long"))
+
+
+def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-(doc_id, session) gate + concat. No per-row Python:
+    sort / unique / diff / concatenate are single numpy calls.
+
+    Exact transcription of the reference's gate loop
+    (DataPumpDecoderSort.java:142-181): for each distinct seq ascending,
+    ``if seq == last+1 or last == 0: emit; last = seq``. Consequences the
+    vectorization must preserve:
+      * a seq==0 chunk is emitted but leaves last==0, so the NEXT chunk is
+        also init-accepted regardless of its seq;
+      * with last>0 (resume), the run must start exactly at last+1;
+      * after the first accepted seq > 0, strict contiguity; first gap holds
+        back the whole suffix.
+    """
+    last = int(pdf["last_seq"].iloc[0])
+    seqs = pdf["seq"].to_numpy()
+    order = np.argsort(seqs, kind="stable")
+    seqs = seqs[order]
+    keep_first = np.ones(len(seqs), dtype=bool)
+    keep_first[1:] = seqs[1:] != seqs[:-1]  # dedupe (duplicate seq → first wins)
+    idx = order[keep_first]
+    seqs = seqs[keep_first]
+
+    take_zero = None
+    if last == 0 and len(seqs) and seqs[0] == 0:
+        take_zero = idx[0]  # emitted, but last stays 0 → init re-fires below
+        idx, seqs = idx[1:], seqs[1:]
+
+    live = seqs > last  # seq ≤ last_seq ⇒ consumed by a previous run
+    idx, seqs = idx[live], seqs[live]
+    if last > 0 and (len(seqs) == 0 or seqs[0] != last + 1):
+        # resume gap: the expected next chunk is missing → hold everything
+        return _empty_out()
+    # init rule: last == 0 accepts any first seq; then contiguity
+    breaks = np.nonzero(np.diff(seqs) != 1)[0]
+    cut = (breaks[0] + 1) if len(breaks) else len(seqs)
+    idx, seqs = idx[:cut], seqs[:cut]
+    if take_zero is not None:
+        idx = np.concatenate([[take_zero], idx])
+    if len(idx) == 0:
+        return _empty_out()
+
+    arrays = pdf["chunk_tokens"].to_numpy()[idx]
+    tokens = np.concatenate([np.asarray(a, dtype=np.int32) for a in arrays]) if len(arrays) else np.array([], dtype=np.int32)
+    return pd.DataFrame(
+        {
+            "doc_id": [pdf["doc_id"].iloc[0]],
+            "session": [pdf["session"].iloc[0]],
+            "tokens": [tokens],
+            "n_tok": [len(tokens)],
+            "source": [pdf["source"].iloc[0]],
+            "last_seq_out": [int(seqs[-1]) if len(seqs) else 0],
+        }
+    )
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=object),
+            "session": pd.Series([], dtype="int64"),
+            "tokens": pd.Series([], dtype=object),
+            "n_tok": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype=object),
+            "last_seq_out": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def reassemble(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
+    """parsed(doc_id, session, seq, chunk_tokens, source) →
+    (doc_id, session, tokens, n_tok, source, last_seq_out), one row per stream
+    that emitted anything this run."""
+    return (
+        _with_last_seq(parsed, checkpoint)
+        .groupBy("doc_id", "session")
+        .applyInPandas(_gate_kernel, schema=_OUT_SCHEMA)
+    )
+
+
+def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
+    """Deduped live chunks with an ``accepted`` flag — pure built-ins.
+
+    Gap cut without lag-chains: within a (doc_id, session), among live
+    positive seqs, the contiguous run starting at the first available seq is
+    exactly the rows where ``seq - row_number() == first_seq - 1``; the
+    checkpoint rule adds ``last_seq == 0 OR first_seq == last_seq + 1``.
+    A seq==0 chunk with last_seq==0 is accepted separately and does NOT anchor
+    the run (the reference emits it but leaves last==0, so init re-fires for
+    the next chunk — DataPumpDecoderSort.java:166-174 with writeLastIndex(0)).
+    """
+    w = Window.partitionBy("doc_id", "session").orderBy("seq")
+    wall = Window.partitionBy("doc_id", "session")
+    base = _with_last_seq(parsed, checkpoint).dropDuplicates(
+        ["doc_id", "session", "seq"]
+    )
+    zero = base.where((F.col("seq") == 0) & (F.col("last_seq") == 0)).withColumn(
+        "accepted", F.lit(True)
+    )
+    pos = (
+        base.where(F.col("seq") > F.greatest(F.col("last_seq"), F.lit(0)))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("first_seq", F.min("seq").over(wall))
+        .withColumn(
+            "accepted",
+            (F.col("seq") - F.col("rn") == F.col("first_seq") - 1)
+            & ((F.col("last_seq") == 0) | (F.col("first_seq") == F.col("last_seq") + 1)),
+        )
+        .drop("rn", "first_seq")
+    )
+    return zero.unionByName(pos)
+
+
+def reassemble_sql(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
+    """Same semantics as ``reassemble``, pure built-ins (no Python)."""
+    kept = _gate_flags(parsed, checkpoint).where(F.col("accepted"))
+    return (
+        kept.groupBy("doc_id", "session")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "chunk_tokens"))),
+                    lambda s: s["chunk_tokens"],
+                )
+            ).alias("tokens"),
+            F.sum(F.size("chunk_tokens")).cast("long").alias("n_tok"),
+            F.first("source").alias("source"),
+            F.max("seq").cast("long").alias("last_seq_out"),
+        )
+        .withColumn(
+            # a stream that emitted only seq 0 keeps last_seq_out = 0
+            "last_seq_out",
+            F.when(F.col("last_seq_out") < 0, F.lit(0)).otherwise(F.col("last_seq_out")),
+        )
+        .select("doc_id", "session", "tokens", "n_tok", "source", "last_seq_out")
+    )
+
+
+def held_back(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
+    """The chunks the gate did NOT consume this run (gap suffixes + streams
+    blocked on a resume gap) — the reference leaves these on disk for a later
+    pass ("cache grows", /root/reference/datadecoder/README.md:13-15).
+    Returns distinct (doc_id, session, seq)."""
+    return (
+        _gate_flags(parsed, checkpoint)
+        .where(~F.col("accepted"))
+        .select("doc_id", "session", "seq")
+    )

@@ -1,0 +1,63 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode stands in for a multi-executor cluster; everything below is a knob
+that matters identically on a real 1000-executor deployment:
+
+* AQE on — runtime coalescing + skew-join splitting handles the hot-source
+  skew the north rule calls out, without hand-tuned partition counts.
+* shuffle partitions ≈ total cores locally; on a cluster this would be
+  2–3× total executor cores (AQE coalesces down, it can't split up a
+  too-small number cheaply pre-3.2).
+* Arrow enabled — every Python-side kernel in this repo is a pandas/Arrow
+  UDF (no per-row Python anywhere, per BASELINE.json input_hint).
+* UTC session TZ — required for value-identical comparison against DuckDB
+  oracles (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "log_aggregator_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` may be an int (→ ``local[N]``) or a full master string. Defaults
+    to ``local[$SPARK_GRAFT_CPUS]`` (driver convention) or ``local[*]``.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = cores if isinstance(cores, str) and cores.startswith(("local", "spark://", "yarn")) else f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        if isinstance(cores, int):
+            n = cores
+        elif isinstance(cores, str) and cores.isdigit():
+            n = int(cores)
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
