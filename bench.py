@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode (north-rule evidence): run the identical pipeline job at
+two parallelism levels (default local[8] vs local[32] — the sandbox stand-in
+for N vs 4N executors) on the same pre-materialized chunk input, report
+sequences/sec at both + scaling efficiency, and write BENCH/BASELINE.md.
+
+The measured job is parse → gate/reassemble → enrich → aggregate (+ optional
+fan-out write): it reads a pre-materialized chunks parquet so chunk derivation
+is NOT in the measured path — at real scale the chunk table IS the stored
+input (north rule: Iceberg table of pre-tokenized sequences).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def materialize_chunks(spark, sf_dir: str, multiplier: int, out_dir: str) -> str:
+    """Derive the chunk table (with perturbations) once and write parquet.
+    multiplier M > 1 replicates each doc M times under distinct doc ids —
+    used to make the scaling runs compute-bound rather than overhead-bound."""
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark import chunker
+
+    path = os.path.join(out_dir, f"chunks_m{multiplier}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if multiplier > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1)))
+        ).select(
+            (F.col("doc_id") * multiplier + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    chunker.chunks(docs).write.mode("overwrite").parquet(path)
+    open(done, "w").close()
+    return path
+
+
+def run_pipeline_job(spark, chunks_path: str, write_out: str | None = None) -> dict:
+    """One end-to-end measured run. Returns timings + row counts."""
+    from log_aggregator_spark import chunker
+    from log_aggregator_spark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet(
+        os.path.join(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+                     "documents.parquet")
+    )
+    chunks = spark.read.parquet(chunks_path)
+    routes = chunker.routes_table(docs.select("source"))
+
+    t0 = time.perf_counter()
+    res = run_pipeline(chunks, routes, checkpoint=None, strategy="sql",
+                       out_dir=write_out)
+    rows = res.counts.collect()
+    elapsed = time.perf_counter() - t0
+    n_streams = sum(r["n_rows"] for r in rows)
+    n_tok = sum(r["sum_n_tok"] for r in rows)
+    return {"sec": elapsed, "streams": n_streams, "tokens": n_tok}
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline per-query timings at the driver's sf (driver contract)."""
+    from log_aggregator_spark.entry_queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_default(args) -> None:
+    from log_aggregator_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", cores=cores)
+
+    tmp = args.workdir
+    os.makedirs(tmp, exist_ok=True)
+    chunks_path = materialize_chunks(spark, sf_dir, args.multiplier, tmp)
+    # warm-up (JIT/codegen/broadcast) then measured run
+    run_pipeline_job(spark, chunks_path)
+    e2e = run_pipeline_job(spark, chunks_path,
+                           write_out=os.path.join(tmp, "routed_out"))
+    queries = bench_queries(spark, sf_dir) if not args.skip_queries else {}
+    queries["pipeline_e2e"] = round(e2e["sec"], 3)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    result = {
+        "metric": "pipeline_e2e_sec",
+        "value": round(e2e["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "streams": e2e["streams"],
+        "tokens": e2e["tokens"],
+        "seq_per_sec": round(e2e["streams"] / e2e["sec"], 1),
+        "cores": str(cores),
+        "multiplier": args.multiplier,
+    }
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def main_scaling(args) -> None:
+    """Same job, same input, local[N] vs local[4N]."""
+    lo, hi = args.n, args.n * 4
+    results = {}
+    for cores in (lo, hi):
+        cmd = [
+            sys.executable, __file__,
+            "--cores", str(cores),
+            "--multiplier", str(args.multiplier),
+            "--workdir", args.workdir,
+            "--skip-queries",
+            "--json-out", os.path.join(args.workdir, f"scaling_{cores}.json"),
+        ]
+        env = dict(os.environ)
+        subprocess.run(cmd, check=True, env=env,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(os.path.join(args.workdir, f"scaling_{cores}.json")) as f:
+            results[cores] = json.load(f)
+
+    thru_lo = results[lo]["seq_per_sec"]
+    thru_hi = results[hi]["seq_per_sec"]
+    eff = (thru_hi / thru_lo) / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": lo,
+        "n4_cores": hi,
+        "seq_per_sec_n": thru_lo,
+        "seq_per_sec_4n": thru_hi,
+        "sec_n": results[lo]["value"],
+        "sec_4n": results[hi]["value"],
+        "streams": results[lo]["streams"],
+        "multiplier": args.multiplier,
+    }
+    print(json.dumps(summary))
+    _write_bench_md(summary)
+
+
+def _write_bench_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH baseline — measured on this sandbox
+
+Job: parse → seq-gate/reassemble → broadcast-enrich → aggregate over a
+pre-materialized chunks parquet (sf0.1 documents × multiplier
+{s['multiplier']}), identical input at both parallelism levels
+(sandbox stand-in for N vs 4N executors per driver instruction).
+
+| parallelism | wall sec | sequences/sec |
+|---|---|---|
+| local[{s['n_cores']}] (N) | {s['sec_n']} | {s['seq_per_sec_n']} |
+| local[{s['n4_cores']}] (4N) | {s['sec_4n']} | {s['seq_per_sec_4n']} |
+
+**Scaling efficiency (throughput ratio / core ratio): {s['value']}**
+(north-rule target ≥ 0.8)
+
+Streams (reassembled sequences) per run: {s['streams']}.
+Generated by `python bench.py --scaling --multiplier {s['multiplier']}`.
+""")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--n", type=int, default=8, help="N for the N vs 4N scaling run")
+    p.add_argument("--cores", default=None)
+    p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--workdir", default="/tmp/la_spark_bench")
+    p.add_argument("--json-out", default=None)
+    p.add_argument("--skip-queries", action="store_true")
+    args = p.parse_args()
+    if args.scaling:
+        main_scaling(args)
+    else:
+        main_default(args)
