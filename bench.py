@@ -56,7 +56,9 @@ def materialize_chunks(spark, sf_dir: str, multiplier: int, out_dir: str) -> str
             "source",
             "n_chars",
         )
-    chunker.chunks(docs).write.mode("overwrite").parquet(path)
+    # enough files that both parallelism levels get full scan parallelism
+    # (analog of a well-bucketed Iceberg table at real scale)
+    chunker.chunks(docs).repartition(256).write.mode("overwrite").parquet(path)
     open(done, "w").close()
     return path
 

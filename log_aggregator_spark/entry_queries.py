@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import chunker, oracle_sql
+from .functions import dedup as fdedup
+from .functions import text as ftext
 from .operators.parse import parse_envelope
 from .operators.reassemble import held_back
 from .plans.pipeline import run_pipeline
@@ -98,6 +100,49 @@ def q_pipeline_checkpoint_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- text / dedup queries
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_text_token_count(spark, sf_dir):
+    return ftext.token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return ftext.quality_features(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    return ftext.language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return ftext.fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return fdedup.exact_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return fdedup.jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return fdedup.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return fdedup.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return fdedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QueryFn] = {
     "pipeline_parse": q_pipeline_parse,
     "pipeline_reassemble": q_pipeline_reassemble,
@@ -106,6 +151,15 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_source_counts": q_pipeline_source_counts,
     "pipeline_held_back": q_pipeline_held_back,
     "pipeline_checkpoint_out": q_pipeline_checkpoint_out,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
-ORACLES: dict[str, str] = dict(oracle_sql.PIPELINE_SQL)
+ORACLES: dict[str, str] = {**oracle_sql.PIPELINE_SQL, **oracle_sql.TEXT_SQL}

@@ -1,0 +1,210 @@
+"""Deduplication families for a large-scale training-data pipeline:
+
+* exact            — content-hash groupBy (one shuffle on the hash)
+* n-gram Jaccard   — candidate pairs via shared-shingle equi-join, exact
+                     Jaccard verify with integer arithmetic
+* MinHash + LSH    — banded min-hash signatures; candidates = band-key join
+* SimHash          — 16-bit simhash + banded (pigeonhole) near-pair search
+
+Scale design notes (10^12-doc regime):
+* Nothing here is quadratic: every pair list comes from an equi-join on a
+  bucketing key (shingle, band key, simhash band), i.e. the standard
+  shuffle-join LSH shape; hot shingles can be frequency-capped (df cap) the
+  same way stop-shingles are dropped in production dedup.
+* All hashing is md5 (JVM built-in, codegen) → engine-portable for the DuckDB
+  oracles; a production deployment would swap xxhash64 in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_groups(documents: DataFrame) -> DataFrame:
+    """(content key → group size + canonical doc). Canonical = min doc_id —
+    the deterministic survivor-pick."""
+    return (
+        documents.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("key"), "doc_id"
+        )
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold_num: int = 1, threshold_den: int = 2
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle, kept when
+    jaccard = inter/union ≥ threshold_num/threshold_den — compared as
+    ``den*inter >= num*union`` (exact integer math, engine-portable).
+    Returns (doc_a, doc_b, inter, uni)."""
+    sh = shingles(documents, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
+        .where(threshold_den * F.col("inter") >= threshold_num * F.col("uni"))
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+# -------------------------------------------------------- MinHash + LSH
+
+N_HASHES = 8
+N_BANDS = 4  # 4 bands × 2 rows
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h7): hi = min over shingles of md5('{i}|' + shingle).
+    One explode + one groupBy — the canonical map-side-combinable minhash."""
+    sh = shingles(documents, n=n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_keys(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, key): key = md5(h_{2b} || h_{2b+1})."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_candidate_pairs(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_a, doc_b, n_bands) — pairs sharing ≥1 LSH band."""
+    bk = minhash_band_keys(minhash_signatures(documents, n=n))
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+SIM_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _word_val16(col):
+    """First 16 bits of md5(word) via nibble arithmetic — portable to DuckDB
+    (strpos-based; no engine-specific hex decode)."""
+    h = F.md5(col)
+    val = F.lit(0)
+    for i in range(4):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        val = val * 16 + nib
+    return val
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit simhash over distinct words, weight 1.
+    Bit j set iff sum over words of (+1 if bit j of md5(word) else -1) > 0."""
+    w = (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("word")
+        )
+        .withColumn("val", _word_val16(F.col("word")))
+    )
+    bit_sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("val") / (2**j)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIM_BITS)
+        ]
+    )
+    sim = F.lit(0)
+    for j in range(SIM_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole banding: split the
+    16 bits into 4 bands of 4; any pair within hamming ≤ 3 must agree on ≥1
+    band → equi-join on (band, band_bits), then exact hamming filter.
+    No quadratic work."""
+    sh = simhash(documents)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                (F.floor(F.col("simhash") / (2 ** (4 * b))) % 16).cast("long").alias("bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    bk = sh.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

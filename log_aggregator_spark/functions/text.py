@@ -1,0 +1,108 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality features, language-ID heuristic, document fingerprinting.
+
+All hot-path logic is JVM-side built-ins (split/filter/md5/aggregate —
+whole-stage codegen); nothing here drops to Python. Every op is paired with a
+DuckDB oracle (oracle_sql.py) — hence the portable constructs: md5 hex,
+``instr``-based nibble arithmetic, integerized ratios (floor ×1000) instead of
+float columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of")
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; deterministic argmax with lexicographic tie-break, 'und' when no
+# profile matches at all.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    w = words(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword-ratio features; ratios integerized
+    (floor ×1000) so they compare exactly across engines."""
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.floor(1000.0 * alpha_chars / n_words).cast("long").alias("avg_word_len_x1000"),
+        F.floor(1000.0 * n_stop / n_words).cast("long").alias("stopword_x1000"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language ID. Scores each language's profile by word
+    hits; deterministic argmax (ties → lexicographically first language);
+    no hits at all → 'und'."""
+    w = words(F.lower(F.col("text")))
+
+    def hits(prof):
+        # NB: the lambda must take exactly one arg — a second one would be
+        # interpreted by F.filter as the element index.
+        return F.size(F.filter(w, lambda x: x.isin(*prof)))
+
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[hits(prof).alias(f"c_{lang}") for lang, prof in LANG_PROFILES.items()],
+    )
+    langs = sorted(LANG_PROFILES)  # lexicographic order = tie-break order
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (F.col("lang") == pred).cast("long").alias("is_match"),
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams (shorter tail shingle when a
+    doc has < n words). The substrate for Jaccard/minhash dedup."""
+    w = words(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprints: full-content md5 + min-sampled shingle hash
+    (the min-hash single-signature form of winnowing — robust to local edits)."""
+    sh = shingles(documents, n=4)
+    min_sh = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp_min_shingle"))
+    full = documents.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    return full.join(min_sh, "doc_id")

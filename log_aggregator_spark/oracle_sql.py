@@ -159,3 +159,174 @@ SELECT doc_id, session, seq FROM flagged WHERE NOT accepted
 SELECT doc_id, session, last_seq_out AS last_seq FROM reassembled
 """,
 }
+
+# ------------------------------------------------- text / dedup oracles
+# Mirrors functions/text.py + functions/dedup.py. Loops generate the
+# bit/nibble arithmetic so the SQL cannot drift from the Spark expressions.
+
+from .functions.text import LANG_PROFILES, STOPWORDS  # noqa: E402
+
+_HEX = "0123456789abcdef"
+
+TEXT_PRELUDE = r"""
+WITH w AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-2, 1) + 1)) AS i
+        FROM w)
+),
+sh4 AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+3], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-3, 1) + 1)) AS i
+        FROM w)
+)
+"""
+
+
+def _in_list(items) -> str:
+    return ", ".join(f"'{x}'" for x in items)
+
+
+def _simhash_val_expr(h: str = "h") -> str:
+    """((0*16+n1)*16+n2)*16... — identical shape to dedup._word_val16."""
+    expr = "0"
+    for i in range(4):
+        expr = f"({expr}) * 16 + (strpos('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+    return expr
+
+
+def _text_sql() -> dict[str, str]:
+    langs = sorted(LANG_PROFILES)
+    c_cols = ", ".join(
+        f"len(list_filter(lw, x -> x IN ({_in_list(LANG_PROFILES[lang])}))) AS c_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+
+    sim_bits_sums = ", ".join(
+        f"sum(CASE WHEN CAST(floor(val / {2**j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    sim_combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    )
+    minhash_sig = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    )
+    minhash_bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
+        for b in range(4)
+    )
+    sim_bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, CAST({b} AS BIGINT) AS band, "
+        f"CAST(floor(simhash / {2**(4*b)}) AS BIGINT) % 16 AS bits FROM sim"
+        for b in range(4)
+    )
+
+    return {
+        "text_token_count": TEXT_PRELUDE
+        + """
+SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM w
+""",
+        "text_quality": TEXT_PRELUDE
+        + f"""
+SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       CAST(floor(1000.0 * length(regexp_replace(text, '\\s+', '', 'g')) / len(words)) AS BIGINT) AS avg_word_len_x1000,
+       CAST(floor(1000.0 * len(list_filter(words, x -> x IN ({_in_list(STOPWORDS)}))) / len(words)) AS BIGINT) AS stopword_x1000,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM w
+""",
+        "text_langid": TEXT_PRELUDE
+        + f"""
+, scored AS (
+  SELECT doc_id, lang, {c_cols}
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS lw
+        FROM documents)
+)
+SELECT doc_id, pred_lang, CAST(lang = pred_lang AS BIGINT) AS is_match
+FROM (SELECT doc_id, lang, {pred} AS pred_lang FROM scored)
+""",
+        "text_fingerprint": TEXT_PRELUDE
+        + """
+SELECT d.doc_id, md5(lower(trim(d.text))) AS fp, m.fp_min_shingle
+FROM documents d
+JOIN (SELECT doc_id, min(md5(shingle)) AS fp_min_shingle
+      FROM sh4 GROUP BY doc_id) m USING (doc_id)
+""",
+        "dedup_exact": """
+SELECT md5(lower(trim(text))) AS key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": TEXT_PRELUDE
+        + """
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= 1 * (sa.n_sh + sb.n_sh - inter)
+""",
+        "dedup_minhash_lsh": TEXT_PRELUDE
+        + f"""
+, sig AS (SELECT doc_id, {minhash_sig} FROM sh3 GROUP BY doc_id),
+bk AS (
+  {minhash_bands}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        "dedup_simhash": TEXT_PRELUDE
+        + f"""
+, wv AS (
+  SELECT doc_id, {_simhash_val_expr("md5(word)")} AS val
+  FROM (SELECT doc_id, unnest(list_distinct(words)) AS word FROM w)
+),
+bits AS (SELECT doc_id, {sim_bits_sums} FROM wv GROUP BY doc_id)
+SELECT doc_id, CAST({sim_combine} AS BIGINT) AS simhash FROM bits
+""",
+        "dedup_simhash_pairs": TEXT_PRELUDE
+        + f"""
+, wv AS (
+  SELECT doc_id, {_simhash_val_expr("md5(word)")} AS val
+  FROM (SELECT doc_id, unnest(list_distinct(words)) AS word FROM w)
+),
+bits AS (SELECT doc_id, {sim_bits_sums} FROM wv GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({sim_combine} AS BIGINT) AS simhash FROM bits),
+bk AS (
+  {sim_bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    }
+
+
+TEXT_SQL: dict[str, str] = _text_sql()
