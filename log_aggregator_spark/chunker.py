@@ -129,6 +129,111 @@ def chunks(documents: DataFrame, perturb: bool = True) -> DataFrame:
     )
 
 
+def synth_chunks(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    min_tok: int = 64,
+    max_tok: int = 1024,
+    chunk: int = 64,
+    n_sources: int = 32,
+    hot_permille: int = 500,
+    dup_mod: int = 16,
+    gap_mod: int = 997,
+) -> DataFrame:
+    """Deterministic synthetic chunk corpus for scale benchmarking — the
+    sandbox stand-in for the north rule's 10^12-sequence Iceberg table
+    (driver instruction: synthesize the input-hint shape at small scale;
+    no external data).
+
+    Entirely JVM built-ins (codegen end to end, no Python, no shuffle):
+    every value is integer arithmetic on ``spark.range`` ids, so the corpus
+    is bit-identical across runs/partitionings. ``hot_permille``/1000 of
+    docs land on src0 → its sink carries ~50% of rows, reproducing the
+    hot-source skew the north rule requires the router to survive.
+    Perturbations (sparse): 1/dup_mod docs duplicate seq 2; 1/gap_mod docs
+    drop seq 3 (held-back suffix path stays exercised at scale).
+
+    Schema matches ``chunks()``: (envelope string, chunk_tokens array<int>,
+    source string).
+    """
+    did = F.col("id")
+    h = lambda salt: F.xxhash64(did, F.lit(seed), F.lit(salt))  # noqa: E731
+    n_tok = (F.pmod(h(1), F.lit(max_tok - min_tok + 1)) + F.lit(min_tok)).cast("int")
+    roll = F.pmod(h(2), F.lit(1000))
+    src_k = F.when(roll < F.lit(hot_permille), F.lit(0)).otherwise(
+        F.pmod(h(3), F.lit(n_sources - 1)) + 1
+    )
+    docs = spark.range(n_docs).select(
+        did.alias("dnum"),
+        F.format_string("doc%09d", did).alias("doc_id"),
+        n_tok.alias("n_tok"),
+        F.concat(F.lit("src"), src_k.cast("string")).alias("source"),
+    )
+
+    n_chunks = F.ceil(F.col("n_tok") / chunk).cast("long")
+    base = docs.withColumn("n_chunks", n_chunks).withColumn(
+        "half",
+        F.when(
+            (F.col("dnum") % spec.MOD_MULTISESSION == 0) & (F.col("n_chunks") >= 2),
+            F.ceil(F.col("n_chunks") / 2).cast("long"),
+        ).otherwise(F.col("n_chunks")),
+    )
+    exploded = base.select(
+        "dnum",
+        "doc_id",
+        "n_tok",
+        "source",
+        "half",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_chunks"))).alias("k"),
+    )
+
+    lo = (F.col("k") - 1) * chunk
+    hi = F.least(F.col("k") * chunk, F.col("n_tok").cast("long"))
+    # token value at position p: multiplicative mixing into a GPT-2-sized
+    # vocab — spreads like a hash but stays pure codegen arithmetic.
+    # Reduce mod 2^31 before the multiply so ANSI mode never overflows long.
+    mix = F.pmod(F.col("dnum") * F.lit(1_000_003) + F.lit(seed), F.lit(2_147_483_647))
+    with_keys = exploded.select(
+        "dnum",
+        "doc_id",
+        "source",
+        F.when(F.col("k") <= F.col("half"), F.lit(spec.SESSION_BASE))
+        .otherwise(F.lit(spec.SESSION_BASE + spec.SESSION_STEP))
+        .cast("long")
+        .alias("session"),
+        F.when(F.col("k") <= F.col("half"), F.col("k"))
+        .otherwise(F.col("k") - F.col("half"))
+        .alias("seq"),
+        F.transform(
+            F.sequence(lo + 1, hi),
+            lambda p: F.pmod(
+                F.pmod(mix + p, F.lit(2_147_483_647)) * F.lit(48_271), F.lit(50_257)
+            ).cast("int"),
+        ).alias("chunk_tokens"),
+    )
+
+    dup = with_keys.where(
+        (F.col("dnum") % dup_mod == 0)
+        & (F.col("session") == spec.SESSION_BASE)
+        & (F.col("seq") == 2)
+    )
+    with_keys = with_keys.unionAll(dup).where(
+        ~(
+            (F.col("dnum") % gap_mod == 0)
+            & (F.col("session") == spec.SESSION_BASE)
+            & (F.col("seq") == 3)
+        )
+    )
+    return with_keys.select(
+        F.format_string(
+            spec.ENVELOPE_FMT, F.col("doc_id"), F.col("session"), F.col("seq")
+        ).alias("envelope"),
+        F.col("chunk_tokens"),
+        F.col("source"),
+    )
+
+
 def checkpoint_table(documents: DataFrame) -> DataFrame:
     """Resume state (SequenceTracker .lastSeq analog,
     /root/reference/datadecoder/.../SequenceTracker.java:122-154):

@@ -41,6 +41,13 @@ def _parse_envelope_udf(env: pd.Series) -> pd.DataFrame:
     )
 
 
+# The UDF is pure, but declaring it nondeterministic stops Catalyst from
+# pushing downstream filters through the struct-projection and re-evaluating
+# the whole Arrow batch a second time (observed as two ArrowEvalPython nodes
+# in the physical plan — 2x the Python cost of the parse stage).
+_parse_envelope_udf = _parse_envelope_udf.asNondeterministic()
+
+
 def parse_envelope(chunks: DataFrame, jvm: bool = False) -> DataFrame:
     """chunks(envelope, chunk_tokens, source) →
     (doc_id, session, seq, chunk_tokens, source)."""

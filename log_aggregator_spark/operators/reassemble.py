@@ -137,41 +137,58 @@ def reassemble(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFr
 
 
 def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
-    """Deduped live chunks with an ``accepted`` flag — pure built-ins.
+    """Deduped live chunks with an ``accepted`` flag — pure built-ins,
+    ONE shuffle.
 
-    Gap cut without lag-chains: within a (doc_id, session), among live
-    positive seqs, the contiguous run starting at the first available seq is
-    exactly the rows where ``seq - row_number() == first_seq - 1``; the
-    checkpoint rule adds ``last_seq == 0 OR first_seq == last_seq + 1``.
-    A seq==0 chunk with last_seq==0 is accepted separately and does NOT anchor
-    the run (the reference emits it but leaves last==0, so init re-fires for
-    the next chunk — DataPumpDecoderSort.java:166-174 with writeLastIndex(0)).
+    Everything (dedupe, gap cut, init rule, zero rule) is computed from
+    window functions over a single ``partitionBy(doc_id, session)
+    .orderBy(seq)`` sort — one exchange, one sort, then the downstream
+    groupBy(doc_id, session) reuses the partitioning (no second exchange).
+    At 10^12 rows this is the irreducible minimum: reassembly IS a per-stream
+    total order.
+
+    Mechanics: among live chunks (``seq > last_seq``, plus the ``seq==0 &&
+    last_seq==0`` init special case), ``dense_rank`` over seq gives duplicate
+    seqs the same rank, so for the contiguous run starting at the anchor
+    (first live positive seq) ``seq - dense_rank`` is the constant
+    ``anchor - anchor_rank``; the first gap breaks the constant. Duplicate
+    rows are dropped by keeping only the first occurrence per seq
+    (``lag(seq) != seq`` — the reference detects exactly this on insert,
+    PBLogFileCollector.java:67-70). A seq==0 chunk with last_seq==0 is
+    emitted but does NOT anchor the run: the reference writes last=0 after
+    it, so the init rule re-fires for the next chunk
+    (DataPumpDecoderSort.java:166-174).
     """
     w = Window.partitionBy("doc_id", "session").orderBy("seq")
     wall = Window.partitionBy("doc_id", "session")
-    base = _with_last_seq(parsed, checkpoint).dropDuplicates(
-        ["doc_id", "session", "seq"]
+    live = _with_last_seq(parsed, checkpoint).where(
+        (F.col("seq") > F.col("last_seq"))
+        | ((F.col("seq") == 0) & (F.col("last_seq") == 0))
     )
-    zero = base.where((F.col("seq") == 0) & (F.col("last_seq") == 0)).withColumn(
-        "accepted", F.lit(True)
-    )
-    pos = (
-        base.where(F.col("seq") > F.greatest(F.col("last_seq"), F.lit(0)))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("first_seq", F.min("seq").over(wall))
+    zero = (F.col("seq") == 0) & (F.col("last_seq") == 0)
+    anchor = F.min(F.when(F.col("seq") > 0, F.col("seq"))).over(wall)
+    anchor_rank = F.lit(1) + F.max(F.when(zero, 1).otherwise(0)).over(wall)
+    return (
+        live.withColumn("_first", F.lag("seq").over(w).isNull() | (F.lag("seq").over(w) != F.col("seq")))
+        .withColumn("_dr", F.dense_rank().over(w))
         .withColumn(
             "accepted",
-            (F.col("seq") - F.col("rn") == F.col("first_seq") - 1)
-            & ((F.col("last_seq") == 0) | (F.col("first_seq") == F.col("last_seq") + 1)),
+            F.col("_first")
+            & (
+                zero
+                | (
+                    (F.col("seq") - F.col("_dr") == anchor - anchor_rank)
+                    & ((F.col("last_seq") == 0) | (anchor == F.col("last_seq") + 1))
+                )
+            ),
         )
-        .drop("rn", "first_seq")
+        .drop("_dr")
     )
-    return zero.unionByName(pos)
 
 
 def reassemble_sql(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
     """Same semantics as ``reassemble``, pure built-ins (no Python)."""
-    kept = _gate_flags(parsed, checkpoint).where(F.col("accepted"))
+    kept = _gate_flags(parsed, checkpoint).where(F.col("accepted")).drop("_first")
     return (
         kept.groupBy("doc_id", "session")
         .agg(
@@ -201,6 +218,6 @@ def held_back(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFra
     Returns distinct (doc_id, session, seq)."""
     return (
         _gate_flags(parsed, checkpoint)
-        .where(~F.col("accepted"))
+        .where(~F.col("accepted") & F.col("_first"))
         .select("doc_id", "session", "seq")
     )

@@ -41,7 +41,9 @@ def get_spark(
             n = cores
         elif isinstance(cores, str) and cores.isdigit():
             n = int(cores)
-        shuffle_partitions = max(8, n)
+        # 2x total cores (cluster guidance: 2-3x executor cores); AQE
+        # coalesces small shuffles back down at runtime.
+        shuffle_partitions = max(16, 2 * n)
 
     builder = (
         SparkSession.builder.master(master)
@@ -55,6 +57,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # task-side commit (v2): job commit is O(1) renames instead of a
+        # serial driver-side rename per task output — matters for the
+        # per-sink fan-out write, which produces many files by design.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
