@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from . import chunker, oracle_sql
 from .functions import dedup as fdedup
+from .functions import multimodal as fmm
+from .functions import similarity as fsim
 from .functions import text as ftext
 from .operators.parse import parse_envelope
 from .operators.reassemble import held_back
@@ -143,6 +145,48 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return fdedup.simhash_near_pairs(_docs(spark, sf_dir))
 
 
+# ------------------------------------------------ similarity queries
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_sim_brute_topk(spark, sf_dir):
+    return fsim.brute_topk(_emb(spark, sf_dir))
+
+
+def q_sim_cosine_near_dup(spark, sf_dir):
+    return fsim.cosine_near_dup(_emb(spark, sf_dir))
+
+
+def q_sim_lsh_signature(spark, sf_dir):
+    return fsim.lsh_signature(_emb(spark, sf_dir))
+
+
+def q_sim_lsh_pairs(spark, sf_dir):
+    return fsim.lsh_candidate_pairs(_emb(spark, sf_dir))
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    return fsim.lsh_topk(_emb(spark, sf_dir))
+
+
+# ------------------------------------------------ multimodal queries
+
+
+def q_mm_media_meta(spark, sf_dir):
+    return fmm.media_meta(_docs(spark, sf_dir))
+
+
+def q_mm_decode_features(spark, sf_dir):
+    return fmm.decode_features(_docs(spark, sf_dir))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    return fmm.frame_sample(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QueryFn] = {
     "pipeline_parse": q_pipeline_parse,
     "pipeline_reassemble": q_pipeline_reassemble,
@@ -160,6 +204,19 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_cosine_near_dup": q_sim_cosine_near_dup,
+    "sim_lsh_signature": q_sim_lsh_signature,
+    "sim_lsh_pairs": q_sim_lsh_pairs,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "mm_media_meta": q_mm_media_meta,
+    "mm_decode_features": q_mm_decode_features,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
-ORACLES: dict[str, str] = {**oracle_sql.PIPELINE_SQL, **oracle_sql.TEXT_SQL}
+ORACLES: dict[str, str] = {
+    **oracle_sql.PIPELINE_SQL,
+    **oracle_sql.TEXT_SQL,
+    **oracle_sql.SIMILARITY_SQL,
+    **oracle_sql.MM_SQL,
+}

@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as an opaque ``binary`` column plus a typed metadata struct
+— the Spark-side schema, partitioning, Arrow batch shape and UDF signatures
+are real and tested; only the *codec* itself is stubbed (the container has
+no image/audio libraries), behind ``set_decoder``/``NotImplementedError``.
+
+Layout (one row per document/media object):
+
+    doc_id: long
+    media:  binary                  -- opaque payload
+    meta:   struct<format:string, width:int, height:int, n_bytes:long>
+
+Design notes for 100 TB:
+  * media bytes stay in one column of a columnar file — Parquet/Iceberg
+    stores them contiguously; metadata predicates (format, size) push down
+    WITHOUT touching payload bytes (column pruning is the whole point of
+    splitting meta from media).
+  * decode/feature-extract runs in ``mapInPandas`` — per Arrow batch, no
+    shuffle, no per-row Python driver loops; output is a narrow feature
+    frame so the heavy binary column is dropped as early as possible.
+  * batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    so a batch of ≤64KB payloads stays well under executor memory.
+
+Deterministic fake payloads: ``attach_media`` synthesizes the blob from the
+document text (UTF-8 bytes + a 4-byte magic header), so every derived
+statistic has an exact DuckDB twin (``oracle_sql.MM_SQL``) and the whole
+family participates in the driver's value-hash gate like any other query.
+
+The reference treats payload bytes as opaque in exactly this way — shipped,
+reassembled, never interpreted (``/root/reference/README.md:203,214-216``);
+this module extends that contract with typed metadata + pluggable decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"FAKE"  # 4-byte header of the synthetic media format
+
+_FEATURE_SCHEMA = (
+    "doc_id long, fmt string, n_bytes long, payload_bytes long, checksum long, "
+    "n_frames long"
+)
+
+# pluggable real decoder: payload bytes -> feature vector; None = stubbed
+_DECODER: Callable[[bytes], np.ndarray] | None = None
+
+
+def set_decoder(fn: Callable[[bytes], np.ndarray] | None) -> None:
+    """Install a real codec (e.g. PIL/librosa based) for deployments that
+    have one; the sandbox keeps the deterministic fake."""
+    global _DECODER
+    _DECODER = fn
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Derive the media table from ``documents`` — pure JVM built-ins.
+    Fake format: 'img' if doc_id even else 'aud'; width/height derived from
+    n_chars; payload = MAGIC + utf8(text)."""
+    n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8")) + F.lit(len(MAGIC))
+    return documents.select(
+        "doc_id",
+        F.concat(F.lit(MAGIC), F.encode(F.col("text"), "UTF-8")).alias("media"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("img"))
+            .otherwise(F.lit("aud"))
+            .alias("format"),
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            ((F.col("n_chars") / 64).cast("int") % 64 + 1).cast("int").alias("height"),
+            n_bytes.cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def media_meta(documents: DataFrame) -> DataFrame:
+    """Metadata-only projection — never touches payload bytes (the scan
+    prunes the media column; the plan's ReadSchema shows meta fields only
+    when run against a stored media table)."""
+    m = attach_media(documents)
+    return m.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch → features. The header parse + checksum is the
+    deterministic fake 'decode'; a real codec plugs in via set_decoder."""
+    payloads = pdf["media"]
+    n_bytes = payloads.map(len).astype("int64")
+    ok = payloads.map(lambda b: bytes(b[:4])) == MAGIC
+    body = payloads.map(lambda b: bytes(b[4:]))
+    if _DECODER is not None:
+        feats = body.map(_DECODER)  # pragma: no cover - real codec path
+        checksum = pd.Series([int(f.sum()) for f in feats], index=pdf.index)
+    else:
+        # fake decode: sum of unicode codepoints of the decoded body —
+        # vectorized via numpy over the concatenated codepoint buffer.
+        texts = body.map(lambda b: b.decode("utf-8"))
+        joined = "".join(texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype("int64")
+        lens = texts.map(len).to_numpy()
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        if len(cps) == 0:
+            sums = np.zeros(len(pdf), dtype="int64")
+        else:
+            # reduceat is undefined past the end; clip starts of empty
+            # trailing segments, then zero empty rows explicitly.
+            sums = np.add.reduceat(cps, np.minimum(starts, len(cps) - 1))
+            sums = np.where(lens > 0, sums, 0)
+        checksum = pd.Series(sums, index=pdf.index)
+    frame_w = pdf["meta"].map(lambda m: m["width"] * m["height"]).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "fmt": pdf["meta"].map(lambda m: m["format"]).where(ok, "corrupt"),
+            "n_bytes": n_bytes,
+            "payload_bytes": n_bytes - len(MAGIC),
+            "checksum": checksum.astype("int64"),
+            "n_frames": (n_bytes - len(MAGIC) + frame_w - 1) // frame_w,
+        }
+    )
+
+
+def decode_features(documents: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extract over the media table.
+    (doc_id, fmt, n_bytes, payload_bytes, checksum, n_frames)."""
+    media = attach_media(documents)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return media.mapInPandas(gen, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample(documents: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: explode each media object into its frame index list,
+    keeping every ``every``-th frame — the Spark-side plumbing (explode of a
+    computed frame count, no payload slicing) of a video frame sampler.
+    (doc_id, frame_idx)."""
+    feats = decode_features(documents)
+    return feats.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)).cast("int"),
+                F.lit(every),
+            )
+        ).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+def resize_stub(documents: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — genuinely needs a codec; stubbed per brief."""
+    raise NotImplementedError(
+        "resize requires an image codec not present in this container; "
+        "install one and wire it via set_decoder()"
+    )

@@ -330,3 +330,144 @@ FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
 
 
 TEXT_SQL: dict[str, str] = _text_sql()
+
+# ------------------------------------------------- similarity oracles
+# Mirrors functions/similarity.py. The hyperplane literals are interpolated
+# from the SAME module-level PLANES constant the Spark plan embeds, so both
+# engines parse identical decimal strings to identical doubles.
+
+from .functions import similarity as _sim  # noqa: E402
+
+_SIM_PRELUDE = """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d),
+p AS (
+  SELECT a.vec_id, b.vec_id AS nb_id,
+         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS sim
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+"""
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _sig_expr(v: str = "v") -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({v}, {_plane_lit(p)}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(_sim.PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _similarity_sql() -> dict[str, str]:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, n2, CAST({b} AS BIGINT) AS band, "
+        f"CAST((sig // {1 << (b * _sim.BITS_PER_BAND)}) % {1 << _sim.BITS_PER_BAND} AS BIGINT) AS bucket FROM sig"
+        for b in range(_sim.N_BANDS)
+    )
+    banded = f", sig AS (SELECT vec_id, v, n2, {_sig_expr()} AS sig FROM n),\nbk AS (\n  {bands}\n)"
+    return {
+        "sim_brute_topk": _SIM_PRELUDE
+        + f"""
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
+FROM (
+  SELECT vec_id, nb_id AS neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+  FROM p
+) WHERE rank <= {_sim.TOPK}
+""",
+        "sim_cosine_near_dup": _SIM_PRELUDE
+        + f"""
+SELECT vec_id AS vec_a, nb_id AS vec_b,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
+FROM p WHERE vec_id < nb_id AND sim >= {_sim.NEAR_DUP_TAU}
+""",
+        "sim_lsh_signature": f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, {_sig_expr()} AS sig FROM d
+""",
+        "sim_lsh_pairs": f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
+{banded}
+SELECT vec_a, vec_b, n_bands,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(count(*) AS BIGINT) AS n_bands,
+         list_dot_product(any_value(a.v), any_value(b.v))
+           / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+) WHERE sim >= {_sim.LSH_TAU}
+""",
+        "sim_lsh_topk": f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
+{banded}
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM (
+  SELECT vec_id, nb_id AS neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+  FROM (
+    SELECT a.vec_id, b.vec_id AS nb_id,
+           list_dot_product(any_value(a.v), any_value(b.v))
+             / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+  )
+) WHERE rank <= {_sim.LSH_TOPK}
+""",
+    }
+
+
+SIMILARITY_SQL: dict[str, str] = _similarity_sql()
+
+# ------------------------------------------------- multimodal oracles
+# Mirrors functions/multimodal.py (deterministic fake media payloads:
+# MAGIC(4 bytes) + utf8(text); checksum = sum of unicode codepoints).
+
+_MM_PRELUDE = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'img' ELSE 'aud' END AS fmt,
+         CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+         CAST((n_chars // 64) % 64 + 1 AS BIGINT) AS height,
+         CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(list_aggregate(
+                     list_transform(string_split(text, ''), c -> unicode(c)),
+                     'sum') AS BIGINT) END AS checksum
+  FROM documents
+),
+mf AS (
+  SELECT *,
+         (payload_bytes + width * height - 1) // (width * height) AS n_frames
+  FROM m
+)
+"""
+
+MM_SQL: dict[str, str] = {
+    "mm_media_meta": _MM_PRELUDE
+    + """
+SELECT doc_id, fmt, width, height, n_bytes FROM m
+""",
+    "mm_decode_features": _MM_PRELUDE
+    + """
+SELECT doc_id, fmt, n_bytes, payload_bytes, checksum,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM mf
+""",
+    "mm_frame_sample": _MM_PRELUDE
+    + """
+SELECT doc_id,
+       CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 2)) AS BIGINT) AS frame_idx
+FROM mf
+""",
+}
