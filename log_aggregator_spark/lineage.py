@@ -1,0 +1,80 @@
+"""Per-partition lineage capture (north rule: "per-partition lineage records
+(input files, row counts, bytes, wall time) emitted to a metrics table").
+
+``lineage_records`` runs as a ``mapInPandas`` scan over the input: each task
+emits one record per (partition, input file) with row count, byte estimate
+and the partition's wall time — all computed batch-vectorized, no per-row
+Python. ``input_file_name()`` is Spark's own file provenance; partition id
+comes from ``TaskContext`` inside the worker.
+
+The reference's nearest analog is the server's running chunk counter
+(``/root/reference/server/.../LogServerController.java:156-158,181-188``)
+plus its per-chunk log lines; here lineage is first-class data, appended to
+a ``SnapshotTable`` per run by ``job.py`` so every snapshot's provenance is
+queryable.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "partition_id int, input_file string, n_rows long, n_bytes long, wall_ms long"
+)
+
+
+def _bytes_estimate(pdf: pd.DataFrame) -> int:
+    """Cheap vectorized per-batch payload size estimate."""
+    total = 0
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype.kind in "ifub":
+            total += int(s.to_numpy().nbytes)
+        elif len(s):
+            head = s.iloc[0]
+            if isinstance(head, str):
+                total += int(s.str.len().sum())
+            elif isinstance(head, (list, tuple, np.ndarray)):
+                total += int(s.map(len).sum()) * 4
+            else:
+                total += int(s.astype(str).str.len().sum())
+    return total
+
+
+def lineage_records(df: DataFrame) -> DataFrame:
+    """One record per (task partition, input file). A metrics pass over the
+    input — on a real deployment this is the same scan Iceberg's commit
+    metadata would summarize; here it is explicit and tested."""
+    with_file = df.withColumn("_file", F.input_file_name())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        rows: dict[str, list[int]] = {}
+        for pdf in batches:
+            nb = _bytes_estimate(pdf.drop(columns=["_file"]))
+            for fname, cnt in pdf["_file"].value_counts().items():
+                acc = rows.setdefault(fname, [0, 0])
+                acc[0] += int(cnt)
+                # byte estimate apportioned by row share of the batch
+                acc[1] += int(nb * cnt / max(len(pdf), 1))
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        yield pd.DataFrame(
+            {
+                "partition_id": pid,
+                "input_file": list(rows),
+                "n_rows": [v[0] for v in rows.values()],
+                "n_bytes": [v[1] for v in rows.values()],
+                "wall_ms": wall_ms,
+            }
+        )
+
+    return with_file.mapInPandas(gen, schema=LINEAGE_SCHEMA)

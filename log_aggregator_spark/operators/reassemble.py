@@ -56,9 +56,14 @@ def _with_last_seq(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame
     ).withColumn("last_seq", F.coalesce(F.col("last_seq"), F.lit(0)).cast("long"))
 
 
-def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized per-(doc_id, session) gate + concat. No per-row Python:
-    sort / unique / diff / concatenate are single numpy calls.
+def gate_select(
+    seqs: np.ndarray, last: int
+) -> tuple[np.ndarray, int, np.ndarray]:
+    """The pure gate decision, shared by the batch kernel and the streaming
+    state kernel: given raw (possibly shuffled, duplicated) seqs and the
+    stream's ``last`` state, return (accepted original indices in emit
+    order, new last, held original indices — dedupe'd live chunks past the
+    first gap).
 
     Exact transcription of the reference's gate loop
     (DataPumpDecoderSort.java:142-181): for each distinct seq ascending,
@@ -70,31 +75,40 @@ def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
       * after the first accepted seq > 0, strict contiguity; first gap holds
         back the whole suffix.
     """
-    last = int(pdf["last_seq"].iloc[0])
-    seqs = pdf["seq"].to_numpy()
     order = np.argsort(seqs, kind="stable")
-    seqs = seqs[order]
-    keep_first = np.ones(len(seqs), dtype=bool)
-    keep_first[1:] = seqs[1:] != seqs[:-1]  # dedupe (duplicate seq → first wins)
+    sseqs = seqs[order]
+    keep_first = np.ones(len(sseqs), dtype=bool)
+    keep_first[1:] = sseqs[1:] != sseqs[:-1]  # dedupe (duplicate seq → first wins)
     idx = order[keep_first]
-    seqs = seqs[keep_first]
+    sseqs = sseqs[keep_first]
 
     take_zero = None
-    if last == 0 and len(seqs) and seqs[0] == 0:
+    if last == 0 and len(sseqs) and sseqs[0] == 0:
         take_zero = idx[0]  # emitted, but last stays 0 → init re-fires below
-        idx, seqs = idx[1:], seqs[1:]
+        idx, sseqs = idx[1:], sseqs[1:]
 
-    live = seqs > last  # seq ≤ last_seq ⇒ consumed by a previous run
-    idx, seqs = idx[live], seqs[live]
-    if last > 0 and (len(seqs) == 0 or seqs[0] != last + 1):
+    live = sseqs > last  # seq ≤ last_seq ⇒ consumed by a previous run
+    idx, sseqs = idx[live], sseqs[live]
+    empty = np.array([], dtype=idx.dtype)
+    if last > 0 and (len(sseqs) == 0 or sseqs[0] != last + 1):
         # resume gap: the expected next chunk is missing → hold everything
-        return _empty_out()
+        return empty, last, idx
     # init rule: last == 0 accepts any first seq; then contiguity
-    breaks = np.nonzero(np.diff(seqs) != 1)[0]
-    cut = (breaks[0] + 1) if len(breaks) else len(seqs)
-    idx, seqs = idx[:cut], seqs[:cut]
+    breaks = np.nonzero(np.diff(sseqs) != 1)[0]
+    cut = (breaks[0] + 1) if len(breaks) else len(sseqs)
+    held = idx[cut:]
+    idx, sseqs = idx[:cut], sseqs[:cut]
+    new_last = int(sseqs[-1]) if len(sseqs) else last
     if take_zero is not None:
-        idx = np.concatenate([[take_zero], idx])
+        idx = np.concatenate([[take_zero], idx]).astype(idx.dtype)
+    return idx, new_last, held
+
+
+def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-(doc_id, session) gate + concat (``gate_select`` on
+    numpy arrays — no per-row Python)."""
+    last = int(pdf["last_seq"].iloc[0])
+    idx, new_last, _held = gate_select(pdf["seq"].to_numpy(), last)
     if len(idx) == 0:
         return _empty_out()
 
@@ -107,7 +121,7 @@ def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             "tokens": [tokens],
             "n_tok": [len(tokens)],
             "source": [pdf["source"].iloc[0]],
-            "last_seq_out": [int(seqs[-1]) if len(seqs) else 0],
+            "last_seq_out": [new_last],
         }
     )
 
@@ -211,6 +225,81 @@ def reassemble_sql(parsed: DataFrame, checkpoint: DataFrame | None = None) -> Da
     )
 
 
+def reassemble_agg(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
+    """Same semantics as ``reassemble``/``reassemble_sql``, third physical
+    strategy: ONE hash aggregate, ZERO window passes.
+
+    ``reassemble_sql`` pays an exchange + full sort + two WindowExec
+    materializations of every chunk row before it even starts aggregating —
+    at 10^12 rows that is the dominant memory traffic. Here the gate runs
+    *inside* the aggregated row: ``collect_list`` gathers each stream's
+    chunks (hash agg, partial on the map side), ``array_sort`` orders the
+    ~tens of per-stream items, and one ``aggregate`` higher-order function
+    replays the reference's gate loop (DataPumpDecoderSort.java:142-181)
+    over the sorted items — duplicate skip, init rule, zero rule, first-gap
+    stop — exactly the loop shape, but per aggregated row instead of per
+    window frame. The accumulator appends chunk *references* into an
+    array-of-arrays (pointer copies, not token copies) and flattens once at
+    the end, so token bytes are touched exactly once.
+
+    Whole plan: scan → parse → one shuffle on (doc_id, session) → hash agg →
+    codegen'd HOF projection. Benchmarks at 2M docs show this strategy is
+    the fastest and scales the best of the three (see BENCH/BASELINE.md).
+    """
+    live = _with_last_seq(parsed, checkpoint).where(
+        (F.col("seq") > F.col("last_seq"))
+        | ((F.col("seq") == 0) & (F.col("last_seq") == 0))
+    )
+    grouped = live.groupBy("doc_id", "session").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "chunk_tokens"))).alias("items"),
+        F.first("source").alias("source"),
+        F.first("last_seq").alias("last_seq"),
+    )
+
+    init = F.struct(
+        F.col("last_seq").cast("long").alias("last"),
+        F.lit(-1).cast("long").alias("prev"),  # previous item's seq (dedupe)
+        F.array().cast("array<array<int>>").alias("toks"),
+        F.lit(False).alias("stopped"),
+        F.lit(0).alias("n_acc"),
+    )
+
+    def step(st, it):
+        # duplicate = same seq as the previous sorted item (the reference
+        # collector rejects these on insert, PBLogFileCollector.java:67-70) —
+        # NOT same as the gate's `last`, which is 0 both initially and after
+        # the seq==0 quirk.
+        dup = it["seq"] == st["prev"]
+        zero = (it["seq"] == 0) & (st["last"] == 0)
+        ok = (~st["stopped"]) & (~dup) & (
+            zero | (it["seq"] == st["last"] + 1) | (st["last"] == 0)
+        )
+        return F.struct(
+            F.when(ok & ~zero, it["seq"]).otherwise(st["last"]).alias("last"),
+            F.when(st["stopped"], st["prev"]).otherwise(it["seq"]).alias("prev"),
+            F.when(ok, F.concat(st["toks"], F.array(it["chunk_tokens"])))
+            .otherwise(st["toks"])
+            .alias("toks"),
+            (st["stopped"] | ((~dup) & (~ok))).alias("stopped"),
+            (st["n_acc"] + F.when(ok, 1).otherwise(0)).alias("n_acc"),
+        )
+
+    return (
+        grouped.withColumn("st", F.aggregate("items", init, step))
+        .where(F.col("st.n_acc") > 0)
+        .select(
+            "doc_id",
+            "session",
+            F.flatten("st.toks").alias("tokens"),
+            F.col("st.n_acc").alias("_n_acc"),
+            "source",
+            F.col("st.last").alias("last_seq_out"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+        .select("doc_id", "session", "tokens", "n_tok", "source", "last_seq_out")
+    )
+
+
 def held_back(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
     """The chunks the gate did NOT consume this run (gap suffixes + streams
     blocked on a resume gap) — the reference leaves these on disk for a later
@@ -220,4 +309,18 @@ def held_back(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFra
         _gate_flags(parsed, checkpoint)
         .where(~F.col("accepted") & F.col("_first"))
         .select("doc_id", "session", "seq")
+    )
+
+
+def held_back_full(
+    parsed: DataFrame, checkpoint: DataFrame | None = None
+) -> DataFrame:
+    """Like ``held_back`` but with full chunk payloads — what ``job.py``
+    persists as the carry-over cache between runs (the exact analog of the
+    reference leaving unconsumed ``.pbData`` files on disk for the next
+    directory pass, ``/root/reference/datadecoder/README.md:13-15``)."""
+    return (
+        _gate_flags(parsed, checkpoint)
+        .where(~F.col("accepted") & F.col("_first"))
+        .select("doc_id", "session", "seq", "chunk_tokens", "source")
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from ..operators.aggregate import sink_counts
 from ..operators.enrich import enrich
 from ..operators.parse import parse_envelope
-from ..operators.reassemble import held_back, reassemble, reassemble_sql
+from ..operators.reassemble import held_back, reassemble, reassemble_agg, reassemble_sql
 from ..operators.route import route_write
 
 
@@ -52,6 +52,8 @@ def run_pipeline(
         reassembled = reassemble(parsed, checkpoint)
     elif strategy == "sql":
         reassembled = reassemble_sql(parsed, checkpoint)
+    elif strategy == "agg":
+        reassembled = reassemble_agg(parsed, checkpoint)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 

@@ -14,8 +14,11 @@ import pytest
 from log_aggregator_spark.operators.reassemble import (
     held_back,
     reassemble,
+    reassemble_agg,
     reassemble_sql,
 )
+
+STRATEGIES = {"pandas": reassemble, "sql": reassemble_sql, "agg": reassemble_agg}
 from log_aggregator_spark.oracle_pandas import reassemble_oracle
 
 from conftest import chunks_df, make_chunks
@@ -97,13 +100,13 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("strategy", ["pandas", "sql"])
+@pytest.mark.parametrize("strategy", sorted(STRATEGIES))
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_gate_matches_oracle(spark, name, strategy):
     rows, ckpt_rows = CASES[name]
     df = chunks_df(spark, rows)
     ckpt = _ckpt_df(spark, ckpt_rows)
-    fn = reassemble if strategy == "pandas" else reassemble_sql
+    fn = STRATEGIES[strategy]
     got = _normalize(fn(df, ckpt).toPandas())
     want = _normalize(
         reassemble_oracle(
@@ -124,7 +127,9 @@ def test_strategies_agree_on_everything(spark):
     df = chunks_df(spark, all_rows)
     a = _normalize(reassemble(df).toPandas())
     b = _normalize(reassemble_sql(df).toPandas())
+    c = _normalize(reassemble_agg(df).toPandas())
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_held_back(spark):
