@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from . import chunker, oracle_sql
 from .functions import dedup as fdedup
+from .functions import events as fev
 from .functions import multimodal as fmm
 from .functions import similarity as fsim
 from .functions import text as ftext
@@ -172,6 +173,33 @@ def q_sim_lsh_topk(spark, sf_dir):
     return fsim.lsh_topk(_emb(spark, sf_dir))
 
 
+# ------------------------------------------------ events/telemetry queries
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_ev_tumbling_counts(spark, sf_dir):
+    return fev.tumbling_counts(_events(spark, sf_dir))
+
+
+def q_ev_sessionize(spark, sf_dir):
+    return fev.sessionize(_events(spark, sf_dir))
+
+
+def q_ev_topk_users(spark, sf_dir):
+    return fev.topk_users(_events(spark, sf_dir))
+
+
+def q_ev_error_rate(spark, sf_dir):
+    return fev.error_rate(_events(spark, sf_dir))
+
+
+def q_ev_props_extract(spark, sf_dir):
+    return fev.props_extract(_events(spark, sf_dir))
+
+
 # ------------------------------------------------ multimodal queries
 
 
@@ -212,6 +240,11 @@ QUERIES: dict[str, QueryFn] = {
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
+    "ev_tumbling_counts": q_ev_tumbling_counts,
+    "ev_sessionize": q_ev_sessionize,
+    "ev_topk_users": q_ev_topk_users,
+    "ev_error_rate": q_ev_error_rate,
+    "ev_props_extract": q_ev_props_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -219,4 +252,5 @@ ORACLES: dict[str, str] = {
     **oracle_sql.TEXT_SQL,
     **oracle_sql.SIMILARITY_SQL,
     **oracle_sql.MM_SQL,
+    **oracle_sql.EVENTS_SQL,
 }

@@ -1,0 +1,126 @@
+"""Telemetry analytics over the ``events`` table
+(event_id, ts timestamp, user_id, event_type, value double, props json-str).
+
+The reference's only aggregate is a running chunk count
+(``/root/reference/server/.../LogServerController.java:156-188``); this
+family is the log/telemetry analytics surface a from-scratch pipeline owes
+its users (north rule: "log/telemetry parse → enrich → route → aggregate"):
+event-time tumbling windows, gap-based sessionization, top-k, conditional
+rates, and regex field extraction from semi-structured props.
+
+All plain built-ins (whole-stage codegen): tumbling windows are
+``date_trunc`` groupBys (shuffle on (window, type) — partial-agg, tiny
+output), sessionization is one window pass per user (shuffle on user_id —
+the reference's per-key single-writer discipline again), top-k is a partial
+TakeOrdered. Every query carries its DuckDB twin (oracle_sql.EVENTS_SQL);
+floats are integerized (floor ×100/×1000), timestamps compared as epoch
+seconds.
+
+Streaming note: the tumbling/session shapes map 1:1 onto
+``F.window``/``F.session_window`` with watermarks under readStream; batch
+form kept here for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity starts a new session
+TOPK_USERS = 10
+
+
+def _events(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): events, distinct users, floor(100*sum(value)).
+    (hour_epoch, event_type, n_events, n_users, sum_value_x100)."""
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            # round, not floor: values have 2 decimals, so the true ×100 sum
+            # is an integer — round absorbs the engines' different double
+            # summation orders (floor flips on the ±1ulp boundary)
+            F.round(F.sum("value") * 100, 0).cast("long").alias("sum_value_x100"),
+        )
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessions per user (new session when >30 min idle).
+    (user_id, session_idx, n_events, start_epoch, end_epoch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet yields TIMESTAMP_NTZ; route through TIMESTAMP (session tz is
+    # UTC) to get fractional epoch seconds — matches DuckDB's epoch(ts)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    new_sess = (
+        (sec - F.lag(sec).over(w)).isNull()
+        | ((sec - F.lag(sec).over(w)) > SESSION_GAP_SEC)
+    ).cast("long")
+    with_idx = events.withColumn(
+        "session_idx", F.sum(new_sess).over(w).cast("long")
+    )
+    return with_idx.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+    )
+
+
+def topk_users(events: DataFrame, k: int = TOPK_USERS) -> DataFrame:
+    """Top-k users by total value; deterministic tie-break on user_id.
+    (rank, user_id, n_events, total_value_x100)."""
+    totals = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("total_value_x100"),
+    )
+    w = Window.orderBy(F.desc("total_value_x100"), F.col("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "user_id", "n_events", "total_value_x100")
+    )
+
+
+def error_rate(events: DataFrame) -> DataFrame:
+    """Per hour: error events per 1000 events.
+    (hour_epoch, n_events, n_errors, error_permille)."""
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .withColumn(
+            "error_permille",
+            F.floor(F.col("n_errors") * 1000 / F.col("n_events")).cast("long"),
+        )
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """Regex field extraction from the semi-structured props column (the
+    grok moment applied to telemetry payloads; engine-portable regexp so
+    the DuckDB twin needs no JSON extension).
+    (event_type, n_events, sum_k, max_k)."""
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )

@@ -174,14 +174,20 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     (DataPumpDecoderSort.java:166-174).
     """
     w = Window.partitionBy("doc_id", "session").orderBy("seq")
-    wall = Window.partitionBy("doc_id", "session")
+    # Running frame (unbounded preceding → current row): with rows sorted by
+    # seq, the stream anchor (first positive live seq) and the zero-chunk
+    # flag (zero sorts first) are RUNNING aggregates — same (partition,
+    # order) spec as lag/dense_rank, so Catalyst evaluates everything in ONE
+    # WindowExec pass with a streaming frame (no whole-partition buffering,
+    # no second Window materialization of 10^12 rows).
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     live = _with_last_seq(parsed, checkpoint).where(
         (F.col("seq") > F.col("last_seq"))
         | ((F.col("seq") == 0) & (F.col("last_seq") == 0))
     )
     zero = (F.col("seq") == 0) & (F.col("last_seq") == 0)
-    anchor = F.min(F.when(F.col("seq") > 0, F.col("seq"))).over(wall)
-    anchor_rank = F.lit(1) + F.max(F.when(zero, 1).otherwise(0)).over(wall)
+    anchor = F.first(F.when(F.col("seq") > 0, F.col("seq")), ignorenulls=True).over(w_run)
+    anchor_rank = F.lit(1) + F.max(F.when(zero, 1).otherwise(0)).over(w_run)
     return (
         live.withColumn("_first", F.lag("seq").over(w).isNull() | (F.lag("seq").over(w) != F.col("seq")))
         .withColumn("_dr", F.dense_rank().over(w))

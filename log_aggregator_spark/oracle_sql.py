@@ -453,6 +453,68 @@ mf AS (
 )
 """
 
+# ------------------------------------------------- events oracles
+# Mirrors functions/events.py. Timestamps → epoch seconds (BIGINT); floats
+# integerized floor(×100 / ×1000).
+
+EVENTS_SQL: dict[str, str] = {
+    "ev_tumbling_counts": """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2
+""",
+    "ev_sessionize": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+idx AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+  FROM gaps
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
+FROM idx GROUP BY 1, 2
+""",
+    "ev_topk_users": """
+SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events, total_value_x100
+FROM (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(round(sum(value) * 100) AS BIGINT) AS total_value_x100,
+         row_number() OVER (ORDER BY round(sum(value) * 100) DESC, user_id) AS rank
+  FROM events GROUP BY user_id
+) WHERE rank <= 10
+""",
+    "ev_error_rate": """
+SELECT hour_epoch, n_events, n_errors,
+       CAST(floor(n_errors * 1000.0 / n_events) AS BIGINT) AS error_permille
+FROM (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+""",
+    "ev_props_extract": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+}
+
 MM_SQL: dict[str, str] = {
     "mm_media_meta": _MM_PRELUDE
     + """

@@ -54,7 +54,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # big Arrow batches: the parse UDF ships only a string column per
+        # row — 64k rows ≈ 2.5 MB per batch, and fewer Python round-trips
+        # matter more than batch memory here
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # task-side commit (v2): job commit is O(1) renames instead of a

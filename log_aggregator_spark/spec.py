@@ -57,3 +57,9 @@ DOC_ID_FMT = "doc%08d"
 
 def expected_chunk_count(n_tok: int) -> int:
     return (n_tok + CHUNK - 1) // CHUNK
+# named-group form for pyarrow.compute.extract_regex (RE2). RE2 has no
+# backtracking: ``.*`` before ``_`` must not swallow the numeric suffix, so
+# the groups are anchored the same way the reference's greedy Java regex
+# resolves (PBLogFile.java:17-27): id = everything up to the LAST two _num
+# groups.
+ENVELOPE_REGEX_NAMED = r"^(?P<doc_id>.*)_(?P<session>\d+)_(?P<seq>\d+)\.pbData$"

@@ -37,7 +37,7 @@ def oracle_frames(spark, docs):
     return chunks_pdf, ckpt_pdf, oracle
 
 
-@pytest.mark.parametrize("strategy", ["pandas", "sql"])
+@pytest.mark.parametrize("strategy", ["pandas", "sql", "agg"])
 def test_pipeline_matches_oracle(spark, docs, oracle_frames, strategy):
     _, _, oracle = oracle_frames
     res = run_pipeline(
