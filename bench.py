@@ -358,4 +358,10 @@ if __name__ == "__main__":
             args.synth_docs = 2_000_000
         main_scaling(args)
     else:
+        # default (driver-contract) mode: per-query timings at the driver's
+        # sf + an e2e headline over a synth corpus big enough that
+        # throughput reflects the engine, not fixed overheads. One-time
+        # materialization is cached under --workdir.
+        if not args.synth_docs and args.multiplier == 1:
+            args.synth_docs = 500_000
         main_default(args)
