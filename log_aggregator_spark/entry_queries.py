@@ -126,6 +126,14 @@ def q_text_fingerprint(spark, sf_dir):
     return ftext.fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_quality_filter(spark, sf_dir):
+    return ftext.quality_filter(_docs(spark, sf_dir))
+
+
+def q_text_sample_stratified(spark, sf_dir):
+    return ftext.sample_stratified(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return fdedup.exact_groups(_docs(spark, sf_dir))
 
@@ -227,6 +235,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_quality_filter": q_text_quality_filter,
+    "text_sample_stratified": q_text_sample_stratified,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -253,4 +263,5 @@ ORACLES: dict[str, str] = {
     **oracle_sql.SIMILARITY_SQL,
     **oracle_sql.MM_SQL,
     **oracle_sql.EVENTS_SQL,
+    **oracle_sql.FILTER_SQL,
 }

@@ -106,3 +106,36 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
     )
     return full.join(min_sh, "doc_id")
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_words: int = 10,
+    min_stop_x1000: int = 50,
+    min_awl_x1000: int = 2000,
+    max_awl_x1000: int = 12000,
+) -> DataFrame:
+    """Keep/drop decision from the quality features — the filter stage every
+    training-data pipeline runs before tokenization. Pure codegen; at scale
+    this is a narrow map the scan pipeline absorbs (no shuffle).
+    (doc_id, keep, n_words)."""
+    q = quality_features(documents)
+    keep = (
+        (q.n_words >= min_words)
+        & (q.stopword_x1000 >= min_stop_x1000)
+        & (q.avg_word_len_x1000 >= min_awl_x1000)
+        & (q.avg_word_len_x1000 <= max_awl_x1000)
+    )
+    return q.select("doc_id", keep.cast("long").alias("keep"), "n_words")
+
+
+def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
+    """Deterministic content-hash sampling within each source stratum:
+    keep a doc iff the first hex nibble of md5(doc_id) < keep_16ths
+    (keep_16ths/16 of each stratum in expectation, reproducible across
+    engines and runs — never ``rand()``, which breaks retry determinism
+    and oracle parity). (doc_id, source)."""
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return documents.select("doc_id", "source").where(nib < keep_16ths)

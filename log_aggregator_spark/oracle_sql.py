@@ -453,6 +453,27 @@ mf AS (
 )
 """
 
+FILTER_SQL: dict[str, str] = {
+    "text_quality_filter": TEXT_PRELUDE
+    + f"""
+, q AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         CAST(floor(1000.0 * length(regexp_replace(text, '\\s+', '', 'g')) / len(words)) AS BIGINT) AS awl,
+         CAST(floor(1000.0 * len(list_filter(words, x -> x IN ({_in_list(STOPWORDS)}))) / len(words)) AS BIGINT) AS stop
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words >= 10 AND stop >= 50 AND awl BETWEEN 2000 AND 12000 AS BIGINT) AS keep,
+       n_words
+FROM q
+""",
+    "text_sample_stratified": """
+SELECT doc_id, source
+FROM documents
+WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4
+""",
+}
+
 # ------------------------------------------------- events oracles
 # Mirrors functions/events.py. Timestamps → epoch seconds (BIGINT); floats
 # integerized floor(×100 / ×1000).
