@@ -154,6 +154,14 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return fdedup.simhash_near_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    return fdedup.duplicate_clusters(_docs(spark, sf_dir))
+
+
+def q_text_vocab(spark, sf_dir):
+    return ftext.vocabulary(_docs(spark, sf_dir))
+
+
 # ------------------------------------------------ similarity queries
 
 
@@ -179,6 +187,10 @@ def q_sim_lsh_pairs(spark, sf_dir):
 
 def q_sim_lsh_topk(spark, sf_dir):
     return fsim.lsh_topk(_emb(spark, sf_dir))
+
+
+def q_sim_lsh_recall(spark, sf_dir):
+    return fsim.lsh_recall(_emb(spark, sf_dir))
 
 
 # ------------------------------------------------ events/telemetry queries
@@ -242,11 +254,14 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "text_vocab": q_text_vocab,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_cosine_near_dup": q_sim_cosine_near_dup,
     "sim_lsh_signature": q_sim_lsh_signature,
     "sim_lsh_pairs": q_sim_lsh_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_recall": q_sim_lsh_recall,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,

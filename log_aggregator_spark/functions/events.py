@@ -76,16 +76,25 @@ def sessionize(events: DataFrame) -> DataFrame:
 
 def topk_users(events: DataFrame, k: int = TOPK_USERS) -> DataFrame:
     """Top-k users by total value; deterministic tie-break on user_id.
-    (rank, user_id, n_events, total_value_x100)."""
+    (rank, user_id, n_events, total_value_x100).
+
+    Physical shape: ``orderBy(...).limit(k)`` plans TakeOrderedAndProject —
+    each partition keeps its own top-k and the driver merges k·p rows — so
+    at 10^9 users no partition ever holds the full totals table (the global
+    ``Window.orderBy`` alternative moves ALL rows to one task). The rank
+    column is then assigned over the k-row result, where a single-partition
+    window costs exactly k rows."""
     totals = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value") * 100, 0).cast("long").alias("total_value_x100"),
     )
+    top = totals.orderBy(F.desc("total_value_x100"), F.col("user_id")).limit(k)
     w = Window.orderBy(F.desc("total_value_x100"), F.col("user_id"))
-    return (
-        totals.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("rank", "user_id", "n_events", "total_value_x100")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "user_id",
+        "n_events",
+        "total_value_x100",
     )
 
 

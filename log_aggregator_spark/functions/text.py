@@ -129,6 +129,29 @@ def quality_filter(
     return q.select("doc_id", keep.cast("long").alias("keep"), "n_words")
 
 
+VOCAB_TOPN = 100
+
+
+def vocabulary(documents: DataFrame, top_n: int = VOCAB_TOPN) -> DataFrame:
+    """Corpus vocabulary: top-N words by total occurrences with document
+    frequency — the token-vocabulary build step of a training pipeline.
+
+    Scale shape: explode → partial-count per word (map-side combine — the
+    word-count shuffle carries one row per distinct word per partition, not
+    one per token) → ``orderBy().limit(n)`` = TakeOrderedAndProject (per-
+    partition top-N, driver merges N·p rows; no global sort, no single-task
+    window). Deterministic tie-break on the word itself.
+    (word, n_occurrences, n_docs)."""
+    w = documents.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("word")
+    )
+    counts = w.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.col("word")).limit(top_n)
+
+
 def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     """Deterministic content-hash sampling within each source stratum:
     keep a doc iff the first hex nibble of md5(doc_id) < keep_16ths

@@ -164,12 +164,14 @@ SELECT doc_id, session, last_seq_out AS last_seq FROM reassembled
 # Mirrors functions/text.py + functions/dedup.py. Loops generate the
 # bit/nibble arithmetic so the SQL cannot drift from the Spark expressions.
 
-from .functions.text import LANG_PROFILES, STOPWORDS  # noqa: E402
+from .functions.dedup import DF_CAP  # noqa: E402
+from .functions.text import LANG_PROFILES, STOPWORDS, VOCAB_TOPN  # noqa: E402
 
 _HEX = "0123456789abcdef"
 
-TEXT_PRELUDE = r"""
-WITH w AS (
+# sh3c = the df-capped shingle set (mirrors dedup._capped_shingles); the cap
+# constant is interpolated from the SAME module the Spark plan reads.
+_TEXT_PRELUDE_BODY = r"""w AS (
   SELECT doc_id, lang, text,
          regexp_split_to_array(trim(text), '\s+') AS words
   FROM documents
@@ -180,13 +182,18 @@ sh3 AS (
                unnest(range(1, greatest(len(words)-2, 1) + 1)) AS i
         FROM w)
 ),
+sh3c AS (
+  SELECT doc_id, shingle FROM sh3
+  WHERE shingle IN (SELECT shingle FROM sh3 GROUP BY 1 HAVING count(*) <= __DFCAP__)
+),
 sh4 AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+3], ' ') AS shingle
   FROM (SELECT doc_id, words,
                unnest(range(1, greatest(len(words)-3, 1) + 1)) AS i
         FROM w)
-)
-"""
+)""".replace("__DFCAP__", str(DF_CAP))
+
+TEXT_PRELUDE = "\nWITH " + _TEXT_PRELUDE_BODY + "\n"
 
 
 def _in_list(items) -> str:
@@ -201,6 +208,58 @@ def _simhash_val_expr(h: str = "h") -> str:
     return expr
 
 
+# Shared generated fragments (used by both the per-family queries and the
+# dedup_clusters union-graph oracle, so the two cannot drift).
+_MINHASH_SIG = ", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, CAST({b} AS BIGINT) AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
+    for b in range(4)
+)
+_SIM_BITS_SUMS = ", ".join(
+    f"sum(CASE WHEN CAST(floor(val / {2**j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIM_COMBINE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+)
+_SIM_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, CAST({b} AS BIGINT) AS band, "
+    f"CAST(floor(simhash / {2**(4*b)}) AS BIGINT) % 16 AS bits FROM sim"
+    for b in range(4)
+)
+
+# CTE chain producing the simhash near-pair set (needs w from the prelude).
+_SIMHASH_PAIR_CTES = f"""wv AS (
+  SELECT doc_id, {_simhash_val_expr("md5(word)")} AS val
+  FROM (SELECT doc_id, unnest(list_distinct(words)) AS word FROM w)
+),
+bits AS (SELECT doc_id, {_SIM_BITS_SUMS} FROM wv GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIM_COMBINE} AS BIGINT) AS simhash FROM bits),
+sbk AS (
+  {_SIM_BANDS}
+),
+simhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM sbk a JOIN sbk b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+)"""
+
+# CTE chain producing the minhash band keys / LSH candidate set (needs sh3c).
+_MINHASH_BK_CTES = f"""sig AS (SELECT doc_id, {_MINHASH_SIG} FROM sh3c GROUP BY doc_id),
+mbk AS (
+  {_MINHASH_BANDS}
+)"""
+_MINHASH_PAIR_CTES = (
+    _MINHASH_BK_CTES
+    + """,
+minhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbk a JOIN mbk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+)
+
+
 def _text_sql() -> dict[str, str]:
     langs = sorted(LANG_PROFILES)
     c_cols = ", ".join(
@@ -211,26 +270,6 @@ def _text_sql() -> dict[str, str]:
     pred = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
-
-    sim_bits_sums = ", ".join(
-        f"sum(CASE WHEN CAST(floor(val / {2**j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(16)
-    )
-    sim_combine = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
-    )
-    minhash_sig = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
-    )
-    minhash_bands = "\n  UNION ALL ".join(
-        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
-        for b in range(4)
-    )
-    sim_bands = "\n  UNION ALL ".join(
-        f"SELECT doc_id, simhash, CAST({b} AS BIGINT) AS band, "
-        f"CAST(floor(simhash / {2**(4*b)}) AS BIGINT) % 16 AS bits FROM sim"
-        for b in range(4)
-    )
 
     return {
         "text_token_count": TEXT_PRELUDE
@@ -274,10 +313,10 @@ FROM documents GROUP BY 1
 """,
         "dedup_ngram_jaccard": TEXT_PRELUDE
         + """
-, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY doc_id),
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3c GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh3c a JOIN sh3c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter,
@@ -289,12 +328,9 @@ WHERE 2 * inter >= 1 * (sa.n_sh + sb.n_sh - inter)
 """,
         "dedup_minhash_lsh": TEXT_PRELUDE
         + f"""
-, sig AS (SELECT doc_id, {minhash_sig} FROM sh3 GROUP BY doc_id),
-bk AS (
-  {minhash_bands}
-)
+, {_MINHASH_BK_CTES}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
-FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+FROM mbk a JOIN mbk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """,
         "dedup_simhash": TEXT_PRELUDE
@@ -303,28 +339,56 @@ GROUP BY 1, 2
   SELECT doc_id, {_simhash_val_expr("md5(word)")} AS val
   FROM (SELECT doc_id, unnest(list_distinct(words)) AS word FROM w)
 ),
-bits AS (SELECT doc_id, {sim_bits_sums} FROM wv GROUP BY doc_id)
-SELECT doc_id, CAST({sim_combine} AS BIGINT) AS simhash FROM bits
+bits AS (SELECT doc_id, {_SIM_BITS_SUMS} FROM wv GROUP BY doc_id)
+SELECT doc_id, CAST({_SIM_COMBINE} AS BIGINT) AS simhash FROM bits
 """,
         "dedup_simhash_pairs": TEXT_PRELUDE
         + f"""
-, wv AS (
-  SELECT doc_id, {_simhash_val_expr("md5(word)")} AS val
-  FROM (SELECT doc_id, unnest(list_distinct(words)) AS word FROM w)
-),
-bits AS (SELECT doc_id, {sim_bits_sums} FROM wv GROUP BY doc_id),
-sim AS (SELECT doc_id, CAST({sim_combine} AS BIGINT) AS simhash FROM bits),
-bk AS (
-  {sim_bands}
+, {_SIMHASH_PAIR_CTES}
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM simhash_pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+        "dedup_clusters": "WITH RECURSIVE "
+        + _TEXT_PRELUDE_BODY
+        + f""",
+{_MINHASH_PAIR_CTES},
+{_SIMHASH_PAIR_CTES},
+ek AS (SELECT md5(lower(trim(text))) AS key, doc_id FROM documents),
+exact_pairs AS (
+  SELECT m.canon AS doc_a, e.doc_id AS doc_b
+  FROM ek e JOIN (SELECT key, min(doc_id) AS canon FROM ek GROUP BY key) m USING (key)
+  WHERE e.doc_id > m.canon
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sim_a, b.simhash AS sim_b
-  FROM bk a JOIN bk b
-    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b FROM exact_pairs
+  UNION SELECT doc_a, doc_b FROM minhash_pairs
+  UNION SELECT doc_a, doc_b FROM simhash_pairs
+  WHERE bit_count(xor(sim_a, sim_b)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, peer) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.peer = e.src
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+SELECT CAST(doc AS BIGINT) AS doc_id,
+       CAST(min(peer) AS BIGINT) AS cluster_id,
+       CAST(doc = min(peer) AS BIGINT) AS is_canonical
+FROM reach GROUP BY doc
+""",
+        "text_vocab": TEXT_PRELUDE
+        + f"""
+, wds AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM wds GROUP BY word
+ORDER BY n_occurrences DESC, word LIMIT {VOCAB_TOPN}
 """,
     }
 
@@ -353,10 +417,13 @@ def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _sig_expr(v: str = "v") -> str:
+def _bucket_expr(b: int, v: str = "v") -> str:
+    """Band b's packed bucket key — mirrors similarity._bucket_col."""
     terms = [
-        f"CASE WHEN list_dot_product({v}, {_plane_lit(p)}) >= 0 THEN {1 << j} ELSE 0 END"
-        for j, p in enumerate(_sim.PLANES)
+        f"CASE WHEN list_dot_product({v}, "
+        f"{_plane_lit(_sim.PLANES[b * _sim.BITS_PER_BAND + j])}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_sim.BITS_PER_BAND)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
@@ -364,10 +431,10 @@ def _sig_expr(v: str = "v") -> str:
 def _similarity_sql() -> dict[str, str]:
     bands = "\n  UNION ALL ".join(
         f"SELECT vec_id, v, n2, CAST({b} AS BIGINT) AS band, "
-        f"CAST((sig // {1 << (b * _sim.BITS_PER_BAND)}) % {1 << _sim.BITS_PER_BAND} AS BIGINT) AS bucket FROM sig"
+        f"{_bucket_expr(b)} AS bucket FROM n"
         for b in range(_sim.N_BANDS)
     )
-    banded = f", sig AS (SELECT vec_id, v, n2, {_sig_expr()} AS sig FROM n),\nbk AS (\n  {bands}\n)"
+    banded = f", bk AS (\n  {bands}\n)"
     return {
         "sim_brute_topk": _SIM_PRELUDE
         + f"""
@@ -385,10 +452,11 @@ SELECT vec_id AS vec_a, nb_id AS vec_b,
        CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
 FROM p WHERE vec_id < nb_id AND sim >= {_sim.NEAR_DUP_TAU}
 """,
-        "sim_lsh_signature": f"""
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id, {_sig_expr()} AS sig FROM d
-""",
+        "sim_lsh_signature": "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        + "\nUNION ALL ".join(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, {_bucket_expr(b)} AS bucket FROM d"
+            for b in range(_sim.N_BANDS)
+        ),
         "sim_lsh_pairs": f"""
 WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
@@ -422,6 +490,38 @@ FROM (
     GROUP BY a.vec_id, b.vec_id
   )
 ) WHERE rank <= {_sim.LSH_TOPK}
+""",
+        "sim_lsh_recall": _SIM_PRELUDE
+        + f"""{banded},
+truth AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, nb_id AS neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+    FROM p
+  ) WHERE rank <= {_sim.LSH_TOPK}
+),
+approx AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, nb_id AS neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+    FROM (
+      SELECT a.vec_id, b.vec_id AS nb_id,
+             list_dot_product(any_value(a.v), any_value(b.v))
+               / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+  ) WHERE rank <= {_sim.LSH_TOPK}
+),
+j AS (
+  SELECT t.vec_id, CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN approx a USING (vec_id, neighbor_id)
+)
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(floor(1000.0 * sum(hit) / count(*)) AS BIGINT) AS recall_x1000
+FROM j
 """,
     }
 

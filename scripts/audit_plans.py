@@ -100,6 +100,17 @@ def main() -> None:
     sections.append(("sim_lsh_pairs", lplan,
                      ["equi-join on (band, bucket): the scale path — no cross join"]))
 
+    # --- top-k shapes: per-partition TakeOrdered, never a global window ---
+    for qname in ("ev_topk_users", "text_vocab"):
+        kq = QUERIES[qname](spark, SF)
+        kplan = fmt_plan(kq)
+        check(f"{qname} take-ordered", "TakeOrderedAndProject" in kplan,
+              "top-k must plan TakeOrderedAndProject (per-partition top-k + "
+              "driver merge), not a partition-less Window over all rows")
+        sections.append((qname, kplan,
+                         ["TakeOrderedAndProject: no single-partition window "
+                          "over the full aggregate"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

@@ -1,0 +1,138 @@
+"""Scale-safety properties of the dedup/similarity families:
+
+* the shingle df cap actually bites on a skewed corpus (one stop-shingle in
+  50% of docs) and the capped pair set matches a capped DuckDB oracle;
+* the brute-force similarity baselines refuse to run past the sample bound;
+* connected-components min-label propagation handles chains (the pointer-
+  jumping case), cliques and singletons with a deterministic survivor.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from log_aggregator_spark.functions import dedup as fdedup
+from log_aggregator_spark.functions import similarity as fsim
+
+
+def _skewed_docs(spark):
+    """40 docs. Docs 0..19 are pure stop-phrase docs — one shingle
+    ('zz zz zz') with df=20, so uncapped they form a C(20,2)=190-pair
+    clique from a single join key (the stop-shingle blowup in miniature).
+    Docs 20..39 pair up (2i, 2i+1) on rare shared tails."""
+    rows = []
+    for i in range(40):
+        if i < 20:
+            rows.append((i, "zz zz zz zz zz"))
+        else:
+            k = i // 2
+            rows.append((i, f"p{k} q{k} r{k} s{k} t{k} u{i}"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+
+
+def _oracle_jaccard(pdf: pd.DataFrame, df_cap: int) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return con.sql(
+        rf"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+           FROM documents),
+sh3 AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-2, 1) + 1)) AS i FROM w)
+),
+shc AS (
+  SELECT doc_id, shingle FROM sh3
+  WHERE shingle IN (SELECT shingle FROM sh3 GROUP BY 1 HAVING count(*) <= {df_cap})
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= 1 * (sa.n_sh + sb.n_sh - inter)
+ORDER BY doc_a, doc_b
+"""
+    ).df()
+
+
+def test_df_cap_bites_and_matches_oracle(spark):
+    docs = _skewed_docs(spark)
+    sh = fdedup.shingles(docs)
+    hot_df = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hot_df == 20  # the skew is real
+
+    capped = (
+        fdedup.jaccard_pairs(docs, df_cap=10)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    want = _oracle_jaccard(docs.toPandas(), df_cap=10)
+    pd.testing.assert_frame_equal(
+        capped.reset_index(drop=True).astype("int64"),
+        want.reset_index(drop=True).astype("int64"),
+    )
+
+    # uncapped, the hot shingle alone links all C(20,2)=190 hot docs;
+    # capped, candidate volume collapses to the 10 rare-tail pairs
+    uncapped = fdedup.jaccard_pairs(docs, df_cap=10**9).count()
+    assert uncapped == 190 + 10
+    assert len(capped) == 10
+
+
+def test_capped_minhash_drops_hot_shingle_only(spark):
+    docs = _skewed_docs(spark)
+    # cap above the skew → identical signatures with or without the cap
+    sig_hi = fdedup.minhash_signatures(docs, df_cap=10**9).orderBy("doc_id").toPandas()
+    sig_20 = fdedup.minhash_signatures(docs, df_cap=20).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(sig_hi, sig_20)
+    # cap below the skew → the pure-stop-phrase docs have NO surviving
+    # shingles and drop out of the signature table (nothing to LSH on —
+    # identical docs are exact_groups' job); content docs all survive
+    sig_lo = fdedup.minhash_signatures(docs, df_cap=10).orderBy("doc_id").toPandas()
+    assert sorted(sig_lo["doc_id"]) == list(range(20, 40))
+
+
+def test_quadratic_guard_trips(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="sample bound"):
+        fsim.brute_topk(emb, max_rows=10)
+    with pytest.raises(ValueError, match="sample bound"):
+        fsim.cosine_near_dup(emb, max_rows=10)
+    # explicit override still works
+    assert fsim.brute_topk(emb, max_rows=10, allow_quadratic=True).count() > 0
+
+
+def test_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4-5 (worst case for naive propagation), clique {10,11,12},
+    # singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        schema="doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20]], schema="doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in fdedup.components(pairs, nodes).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0), 5: (1, 0),
+        10: (10, 1), 11: (10, 0), 12: (10, 0),
+        20: (20, 1),
+    }
