@@ -19,8 +19,15 @@ Design notes for 100 TB:
   * decode/feature-extract runs in ``mapInPandas`` — per Arrow batch, no
     shuffle, no per-row Python driver loops; output is a narrow feature
     frame so the heavy binary column is dropped as early as possible.
-  * batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    so a batch of ≤64KB payloads stays well under executor memory.
+  * batch size is bounded in BYTES (``spark.sql.execution.arrow.
+    maxBytesPerBatch`` = 64 MiB, set in session.py) — the row cap alone
+    would let 64k × 64 KB payloads form a ~4 GiB Arrow batch and OOM the
+    executor; with both set, Spark closes a batch at whichever bound hits
+    first.
+  * every derivable field (fmt, dimensions, byte counts, frame geometry,
+    header validity) is computed JVM-side BEFORE ``mapInPandas``; the
+    Python kernel receives them ready-made and runs ONLY the codec body —
+    per-object Python is inherent to a codec and nowhere else.
 
 Deterministic fake payloads: ``attach_media`` synthesizes the blob from the
 document text (UTF-8 bytes + a 4-byte magic header), so every derived
@@ -93,12 +100,11 @@ def media_meta(documents: DataFrame) -> DataFrame:
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch → features. The header parse + checksum is the
-    deterministic fake 'decode'; a real codec plugs in via set_decoder."""
-    payloads = pdf["media"]
-    n_bytes = payloads.map(len).astype("int64")
-    ok = payloads.map(lambda b: bytes(b[:4])) == MAGIC
-    body = payloads.map(lambda b: bytes(b[4:]))
+    """One Arrow batch → features. Everything except the codec body arrived
+    precomputed from the JVM (fmt, n_bytes, payload_bytes, n_frames); the
+    only Python-per-object work is the decode itself — unavoidable for any
+    real codec."""
+    body = pdf["media"].map(lambda b: bytes(b)[len(MAGIC):])  # codec boundary
     if _DECODER is not None:
         feats = body.map(_DECODER)  # pragma: no cover - real codec path
         checksum = pd.Series([int(f.sum()) for f in feats], index=pdf.index)
@@ -118,23 +124,39 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             sums = np.add.reduceat(cps, np.minimum(starts, len(cps) - 1))
             sums = np.where(lens > 0, sums, 0)
         checksum = pd.Series(sums, index=pdf.index)
-    frame_w = pdf["meta"].map(lambda m: m["width"] * m["height"]).astype("int64")
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "fmt": pdf["meta"].map(lambda m: m["format"]).where(ok, "corrupt"),
-            "n_bytes": n_bytes,
-            "payload_bytes": n_bytes - len(MAGIC),
-            "checksum": checksum.astype("int64"),
-            "n_frames": (n_bytes - len(MAGIC) + frame_w - 1) // frame_w,
-        }
+    out = pdf[["doc_id", "fmt", "n_bytes", "payload_bytes"]].copy()
+    out["checksum"] = checksum.astype("int64")
+    out["n_frames"] = pdf["n_frames"]
+    return out
+
+
+def _with_jvm_features(documents: DataFrame) -> DataFrame:
+    """The pre-decode projection: media payload + every feature derivable
+    without the codec, all JVM-side codegen (substring works on binary, so
+    even header validation never touches Python)."""
+    m = attach_media(documents)
+    ok = F.expr(f"substring(media, 1, {len(MAGIC)})") == F.lit(bytearray(MAGIC))
+    n_bytes = F.octet_length("media").cast("long")
+    payload_bytes = (n_bytes - F.lit(len(MAGIC))).cast("long")
+    frame_px = (
+        F.col("meta.width").cast("long") * F.col("meta.height").cast("long")
+    )
+    return m.select(
+        "doc_id",
+        "media",
+        F.when(ok, F.col("meta.format")).otherwise(F.lit("corrupt")).alias("fmt"),
+        n_bytes.alias("n_bytes"),
+        payload_bytes.alias("payload_bytes"),
+        F.floor((payload_bytes + frame_px - 1) / frame_px)
+        .cast("long")
+        .alias("n_frames"),
     )
 
 
 def decode_features(documents: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extract over the media table.
     (doc_id, fmt, n_bytes, payload_bytes, checksum, n_frames)."""
-    media = attach_media(documents)
+    media = _with_jvm_features(documents)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,8 +169,10 @@ def frame_sample(documents: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling: explode each media object into its frame index list,
     keeping every ``every``-th frame — the Spark-side plumbing (explode of a
     computed frame count, no payload slicing) of a video frame sampler.
-    (doc_id, frame_idx)."""
-    feats = decode_features(documents)
+    (doc_id, frame_idx). Frame geometry is JVM-derivable, so this plan
+    contains NO Python at all — the codec kernel is only paid when the
+    decoded content (checksum/features) is actually requested."""
+    feats = _with_jvm_features(documents)
     return feats.select(
         "doc_id",
         F.explode(

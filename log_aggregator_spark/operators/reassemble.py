@@ -56,14 +56,43 @@ def _with_last_seq(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame
     ).withColumn("last_seq", F.coalesce(F.col("last_seq"), F.lit(0)).cast("long"))
 
 
+def payload_ranks(seqs: np.ndarray, arrays) -> np.ndarray | None:
+    """Tie-break ranks for duplicate seqs: among rows sharing a seq, the
+    lexicographically-least token payload must win (see ``gate_select``).
+    Returns None in the common no-duplicates case so the hot path pays one
+    vectorized ``duplicated`` check and nothing else; per-row tuple
+    construction happens only for the (corruption-rare) duplicated rows."""
+    dup = pd.Series(seqs).duplicated(keep=False).to_numpy()
+    if not dup.any():
+        return None
+    idxs = np.nonzero(dup)[0]
+    keys = np.empty(len(idxs), dtype=object)
+    for j, i in enumerate(idxs):
+        keys[j] = tuple(arrays[int(i)])
+    rank = np.zeros(len(seqs), dtype=np.int64)
+    rank[idxs[np.argsort(keys, kind="stable")]] = np.arange(len(idxs))
+    return rank
+
+
 def gate_select(
-    seqs: np.ndarray, last: int
+    seqs: np.ndarray, last: int, payload_rank: np.ndarray | None = None
 ) -> tuple[np.ndarray, int, np.ndarray]:
     """The pure gate decision, shared by the batch kernel and the streaming
     state kernel: given raw (possibly shuffled, duplicated) seqs and the
     stream's ``last`` state, return (accepted original indices in emit
     order, new last, held original indices — dedupe'd live chunks past the
     first gap).
+
+    Duplicate-seq survivor rule: the reference collector keeps the FIRST
+    arrival (PBLogFileCollector.java:67-70) — but arrival order does not
+    survive a distributed shuffle, so "first" is not reproducible here.
+    This engine's rule, uniform across all three batch strategies and the
+    streaming gate: among rows with equal seq, the lexicographically-least
+    token payload wins (deterministic, retry/speculation-stable, and
+    identical to first-wins whenever duplicate payloads are identical —
+    the only case the reference's own corpus produces). ``payload_rank``
+    carries that ordering; None means the caller verified there are no
+    duplicate seqs (or accepts arbitrary survivor choice).
 
     Exact transcription of the reference's gate loop
     (DataPumpDecoderSort.java:142-181): for each distinct seq ascending,
@@ -75,7 +104,10 @@ def gate_select(
       * after the first accepted seq > 0, strict contiguity; first gap holds
         back the whole suffix.
     """
-    order = np.argsort(seqs, kind="stable")
+    if payload_rank is not None:
+        order = np.lexsort((payload_rank, seqs))
+    else:
+        order = np.argsort(seqs, kind="stable")
     sseqs = seqs[order]
     keep_first = np.ones(len(sseqs), dtype=bool)
     keep_first[1:] = sseqs[1:] != sseqs[:-1]  # dedupe (duplicate seq → first wins)
@@ -108,7 +140,9 @@ def _gate_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized per-(doc_id, session) gate + concat (``gate_select`` on
     numpy arrays — no per-row Python)."""
     last = int(pdf["last_seq"].iloc[0])
-    idx, new_last, _held = gate_select(pdf["seq"].to_numpy(), last)
+    seqs = pdf["seq"].to_numpy()
+    ranks = payload_ranks(seqs, pdf["chunk_tokens"].to_numpy())
+    idx, new_last, _held = gate_select(seqs, last, ranks)
     if len(idx) == 0:
         return _empty_out()
 
@@ -162,18 +196,21 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     total order.
 
     Mechanics: among live chunks (``seq > last_seq``, plus the ``seq==0 &&
-    last_seq==0`` init special case), ``dense_rank`` over seq gives duplicate
-    seqs the same rank, so for the contiguous run starting at the anchor
-    (first live positive seq) ``seq - dense_rank`` is the constant
-    ``anchor - anchor_rank``; the first gap breaks the constant. Duplicate
-    rows are dropped by keeping only the first occurrence per seq
-    (``lag(seq) != seq`` — the reference detects exactly this on insert,
-    PBLogFileCollector.java:67-70). A seq==0 chunk with last_seq==0 is
-    emitted but does NOT anchor the run: the reference writes last=0 after
-    it, so the init rule re-fires for the next chunk
-    (DataPumpDecoderSort.java:166-174).
+    last_seq==0`` init special case), ``_dr`` — the running count of
+    first-occurrence rows — equals the dense rank of the row's seq among
+    distinct seqs, so for the contiguous run starting at the anchor (first
+    live positive seq) ``seq - _dr`` is the constant ``anchor -
+    anchor_rank``; the first gap breaks the constant. Duplicate rows are
+    dropped by keeping only the first occurrence per seq (``lag(seq) !=
+    seq`` — the reference detects exactly this on insert,
+    PBLogFileCollector.java:67-70); the window's secondary sort on
+    ``chunk_tokens`` makes "first" the lexicographically-least payload —
+    the engine's deterministic survivor rule (see ``gate_select``). A
+    seq==0 chunk with last_seq==0 is emitted but does NOT anchor the run:
+    the reference writes last=0 after it, so the init rule re-fires for
+    the next chunk (DataPumpDecoderSort.java:166-174).
     """
-    w = Window.partitionBy("doc_id", "session").orderBy("seq")
+    w = Window.partitionBy("doc_id", "session").orderBy("seq", "chunk_tokens")
     # Running frame (unbounded preceding → current row): with rows sorted by
     # seq, the stream anchor (first positive live seq) and the zero-chunk
     # flag (zero sorts first) are RUNNING aggregates — same (partition,
@@ -190,7 +227,13 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     anchor_rank = F.lit(1) + F.max(F.when(zero, 1).otherwise(0)).over(w_run)
     return (
         live.withColumn("_first", F.lag("seq").over(w).isNull() | (F.lag("seq").over(w) != F.col("seq")))
-        .withColumn("_dr", F.dense_rank().over(w))
+        # running count of first-occurrences == dense rank of seq among
+        # distinct seqs; computed as a second window expr over the SAME
+        # (partition, order) spec, so no extra exchange or sort — the input
+        # is already partitioned and ordered for it. (dense_rank itself
+        # would split equal seqs with differing payloads once the payload
+        # joins the sort key.)
+        .withColumn("_dr", F.sum(F.col("_first").cast("long")).over(w_run))
         .withColumn(
             "accepted",
             F.col("_first")
@@ -274,7 +317,10 @@ def reassemble_agg(parsed: DataFrame, checkpoint: DataFrame | None = None) -> Da
         # duplicate = same seq as the previous sorted item (the reference
         # collector rejects these on insert, PBLogFileCollector.java:67-70) —
         # NOT same as the gate's `last`, which is 0 both initially and after
-        # the seq==0 quirk.
+        # the seq==0 quirk. array_sort on struct(seq, chunk_tokens) ordered
+        # the items by (seq, payload), so the survivor among equal seqs is
+        # the lexicographically-least payload — the same deterministic rule
+        # as the other strategies (see gate_select).
         dup = it["seq"] == st["prev"]
         zero = (it["seq"] == 0) & (st["last"] == 0)
         ok = (~st["stopped"]) & (~dup) & (

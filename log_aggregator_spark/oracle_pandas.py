@@ -33,7 +33,11 @@ def reassemble_oracle(
         seen = set()
         emitted: list[int] = []
         cur = last
-        for r in g.sort_values("seq").itertuples(index=False):
+        # (seq, payload) ordering: among duplicate seqs the engine's
+        # survivor is the lexicographically-least payload (gate_select's
+        # documented rule — arrival order is undefined post-shuffle).
+        g = g.assign(_pk=g["chunk_tokens"].map(tuple)).sort_values(["seq", "_pk"])
+        for r in g.itertuples(index=False):
             s = int(r.seq)
             if s in seen:
                 continue

@@ -56,8 +56,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches: the parse UDF ships only a string column per
         # row — 64k rows ≈ 2.5 MB per batch, and fewer Python round-trips
-        # matter more than batch memory here
+        # matter more than batch memory here...
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # ...but the row cap alone is wrong for WIDE rows: 64k rows of 64 KB
+        # media payloads would be a ~4 GiB Arrow batch. The byte cap closes
+        # a batch when EITHER bound is hit (Spark semantics when both are
+        # set), so narrow parse batches stay at 64k rows while binary-heavy
+        # mapInPandas batches (multimodal decode) are cut at 64 MiB.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # task-side commit (v2): job commit is O(1) renames instead of a

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.parse import parse_envelope
-from ..operators.reassemble import gate_select
+from ..operators.reassemble import gate_select, payload_ranks
 
 CHUNK_SCHEMA = StructType(
     [
@@ -100,7 +100,8 @@ def _gate_with_state(
             source = str(pdf["source"].iloc[0])
 
     seq_arr = np.asarray(seqs, dtype=np.int64)
-    idx, new_last, held_idx = gate_select(seq_arr, int(last))
+    ranks = payload_ranks(seq_arr, arrays)
+    idx, new_last, held_idx = gate_select(seq_arr, int(last), ranks)
 
     # state crosses the Arrow/Pyrolite boundary — plain Python types only
     state.update(

@@ -36,6 +36,14 @@ CASES = {
         [_chunk("a", 10, 1, [1]), _chunk("a", 10, 2, [2]), _chunk("a", 10, 2, [2]), _chunk("a", 10, 3, [3])],
         None,
     ),
+    "duplicate_seq_diff_payload": (
+        # survivor among equal seqs = lexicographically-least payload, in
+        # every strategy (deterministic; NOT arrival order, which a shuffle
+        # destroys). [2,9] loses to [2,10]? no: [2,9] < [2,10] elementwise
+        # lexicographic on values → [2,9] wins; [0,7] < [2,9] → [0,7] wins.
+        [_chunk("a", 10, 1, [1]), _chunk("a", 10, 2, [2, 9]), _chunk("a", 10, 2, [0, 7]), _chunk("a", 10, 3, [3])],
+        None,
+    ),
     "gap_holds_suffix": (
         [_chunk("a", 10, 1, [1]), _chunk("a", 10, 2, [2]), _chunk("a", 10, 4, [4]), _chunk("a", 10, 5, [5])],
         None,
