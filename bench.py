@@ -215,6 +215,25 @@ def main_default(args) -> None:
     queries = bench_queries(spark, sf_dir) if not args.skip_queries else {}
     queries["pipeline_e2e"] = round(e2e["sec"], 3)
 
+    # bench continuity: report per-query delta vs the latest recorded round
+    # so regressions are visible in the round-over-round record.
+    prev_file, prev_queries = None, {}
+    import glob as _glob
+
+    rounds = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if rounds:
+        prev_file = os.path.basename(rounds[-1])
+        try:
+            with open(rounds[-1]) as f:
+                prev_queries = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            prev_queries = {}
+    delta_pct = {
+        q: round(100.0 * (t / prev_queries[q] - 1), 1)
+        for q, t in queries.items()
+        if prev_queries.get(q)
+    }
+
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     result = {
         "metric": "pipeline_e2e_sec",
@@ -229,6 +248,8 @@ def main_default(args) -> None:
         "cores": str(cores),
         "multiplier": args.multiplier,
         "synth_docs": args.synth_docs,
+        "prev_round": prev_file,
+        "delta_pct_vs_prev": delta_pct,
     }
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -19,7 +19,7 @@ from .functions import multimodal as fmm
 from .functions import similarity as fsim
 from .functions import text as ftext
 from .operators.parse import parse_envelope
-from .operators.reassemble import held_back
+from .operators.reassemble import held_back, held_back_full, reassemble_sql
 from .plans.pipeline import run_pipeline
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -100,6 +100,56 @@ def q_pipeline_held_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_checkpoint_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline(spark, sf_dir).checkpoint_out.select(
         "doc_id", "session", F.col("last_seq").cast("long").alias("last_seq")
+    )
+
+
+def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-splitting invariance as a first-class gated query: the corpus is
+    processed as TWO checkpointed passes (phase 1 = seqs ≤ 2, phase 2 =
+    the rest + phase 1's held cache, against the merged checkpoint) and
+    the per-stream concatenation of the two runs' segments must equal the
+    ORACLE, which is the ordinary single-pass reassembly SQL. This is
+    job.py's resume contract (reference invariant README.md:93-104)
+    expressed as one declarative plan — it exercises resume-at-last+1,
+    init-accept of sessions that restart mid-corpus, gap carry-over and
+    checkpoint merge, all under the driver's value-hash."""
+    docs = chunker.load_documents(spark, sf_dir)
+    parsed = parse_envelope(chunker.chunks(docs))
+    ckpt0 = chunker.checkpoint_table(docs)
+
+    p1 = parsed.where(F.col("seq") <= 2)
+    p2 = parsed.where(F.col("seq") > 2)
+
+    r1 = reassemble_sql(p1, ckpt0)
+    held1 = held_back_full(p1, ckpt0)
+    ck1 = r1.selectExpr("doc_id", "session", "cast(last_seq_out as long) as last_seq")
+    ckpt1 = ck1.unionByName(
+        ckpt0.join(ck1.select("doc_id", "session"), ["doc_id", "session"], "left_anti")
+    )
+    r2 = reassemble_sql(p2.unionByName(held1), ckpt1)
+
+    seg = r1.withColumn("run", F.lit(1)).unionByName(r2.withColumn("run", F.lit(2)))
+    return (
+        seg.groupBy("doc_id", "session")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("run", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.first("source").alias("source"),
+            F.max("last_seq_out").cast("long").alias("last_seq_out"),
+        )
+        .select(
+            "doc_id",
+            "session",
+            _csv("tokens").alias("tokens_csv"),
+            "n_tok",
+            "source",
+            "last_seq_out",
+        )
     )
 
 
@@ -243,6 +293,7 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_source_counts": q_pipeline_source_counts,
     "pipeline_held_back": q_pipeline_held_back,
     "pipeline_checkpoint_out": q_pipeline_checkpoint_out,
+    "pipeline_resume": q_pipeline_resume,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

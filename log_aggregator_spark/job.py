@@ -8,25 +8,29 @@ promoted to a cluster batch job:
 1. read NEW chunk rows (incremental scan of the chunks table since the last
    processed snapshot) plus the HELD cache (chunks previous runs could not
    consume — the reference's "cache grows" files, ``datadecoder/README.md:13-15``),
-2. run parse → gate/reassemble → enrich against the persisted checkpoint
-   table (``SequenceTracker`` analog),
-3. commit, atomically per table: routed output (append), new checkpoint
-   state (overwrite, carrying the processed-snapshot watermark in its
-   manifest lineage), the new held cache (overwrite), and a metrics/lineage
-   snapshot (append).
+2. run parse → gate against the persisted checkpoint table
+   (``SequenceTracker`` analog) and MATERIALIZE the gate decision once to a
+   staging snapshot,
+3. derive routed output, new checkpoint, new held cache and metrics from
+   that one materialized result, and commit all four in ONE atomic
+   TableGroup manifest swap.
 
-Crash safety: every commit is an atomic manifest swap (``tableio.py``); a
-crash between commits re-runs the same pass — the checkpoint table is the
-LAST thing advanced... actually ordering here is: routed append happens
-before the checkpoint overwrite, so a crash in between would re-append on
-retry. The run_id column (= chunks snapshot processed) makes such replays
-detectable and idempotent to readers: ``SELECT ... QUALIFY row_number()
-OVER (PARTITION BY doc_id, session, run_id ...) = 1`` or simply the fact
-that a re-run of run_id N rewrites identical rows (deterministic
-transforms, per SURVEY.md §7 hard part 2). The reference has the same
-window, documented at ``DataPumpDecoderSort.java:48-51`` — duplicate
-append between payload-append and ``.lastSeq`` write; we keep its
-*intended* semantics and make replays detectable.
+Consistency: the gate plan contains an ``asNondeterministic`` Arrow UDF and
+order-sensitive tie-breaks, so deriving each state table from its own
+recomputation would let task retries/speculation hand different inputs to
+different commits. Materializing ``_gate_flags`` once means routed,
+checkpoint, held and the count summary all observe the SAME physical rows —
+and the pass reads the parse output once instead of 4-5 times.
+
+Crash safety: the single TableGroup commit has NO duplicate-append window —
+either the CURRENT swap happened (all four tables advanced together) or it
+didn't (previous state fully visible; the retry reprocesses the same chunks
+snapshot once; orphaned staging/data dirs are inert). The reference's own
+documented window between payload append and ``.lastSeq`` write
+(``DataPumpDecoderSort.java:48-51``) is thereby closed, not just made
+detectable. Concurrent committers are excluded by the manifest CAS
+(``tableio.ConcurrentCommitError``); the run_id column (= chunks snapshot
+processed) remains as the audit/idempotency key.
 
 Output invariant (tested in tests/test_job_resume.py): for every
 (doc_id, session), the concatenation of routed token segments in run order
@@ -38,30 +42,40 @@ from __future__ import annotations
 
 import argparse
 import time
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .lineage import lineage_records
-from .operators.reassemble import held_back_full
-from .plans.pipeline import run_pipeline
-from .tableio import SnapshotTable
+from .operators.aggregate import sink_counts
+from .operators.enrich import enrich
+from .operators.reassemble import (
+    _gate_flags,
+    held_from_flags,
+    reassemble_from_flags,
+)
+from .tableio import SnapshotTable, TableGroup
 
 
 class JobState:
-    """The three state tables a deployment owns, rooted at ``state_dir``."""
+    """The state a deployment owns, rooted at ``state_dir``: one TableGroup
+    holding routed/checkpoint/held/metrics (committed atomically together)
+    plus a staging area for the per-pass materialized gate output."""
 
     def __init__(self, state_dir: str) -> None:
-        self.checkpoint = SnapshotTable(f"{state_dir}/checkpoint")
-        self.held = SnapshotTable(f"{state_dir}/held")
-        self.metrics = SnapshotTable(f"{state_dir}/metrics")
-        self.routed = SnapshotTable(f"{state_dir}/routed")
+        self.group = TableGroup(f"{state_dir}/group")
+        self.routed = self.group.table("routed")
+        self.checkpoint = self.group.table("checkpoint")
+        self.held = self.group.table("held")
+        self.metrics = self.group.table("metrics")
+        self.staging_root = f"{state_dir}/staging"
 
 
 def run_job(
     spark: SparkSession,
     chunks_table: SnapshotTable,
-    routes: DataFrame,
+    routes,
     state: JobState,
 ) -> dict:
     """One resumable pass. Returns a run summary dict."""
@@ -95,78 +109,64 @@ def run_job(
     )
 
     run_id = current_snap or 0
-    res = run_pipeline_from_parsed(parsed, routes, ckpt_df)
 
-    enriched = res.enriched.withColumn("run_id", F.lit(run_id).cast("long"))
-    state.routed.commit(enriched, mode="append",
-                        lineage={"run_id": run_id})
+    # ---- the ONE computation: gate decision, materialized ----------------
+    staging = f"{state.staging_root}/{uuid.uuid4().hex}"
+    _gate_flags(parsed, ckpt_df).write.mode("overwrite").parquet(staging)
+    flagged = spark.read.parquet(staging)
+
+    reassembled = reassemble_from_flags(flagged)
+    enriched = enrich(reassembled, routes).withColumn(
+        "run_id", F.lit(run_id).cast("long")
+    )
+    held_full = held_from_flags(flagged)
 
     # checkpoint merge: streams that emitted this run advance; the rest keep
     # their old state. Broadcast-friendly (one row per live stream).
-    new_ckpt = res.checkpoint_out
+    new_ckpt = reassembled.selectExpr(
+        "doc_id", "session", "cast(last_seq_out as long) as last_seq"
+    )
     if ckpt_df is not None:
         keep = ckpt_df.join(
             new_ckpt.select("doc_id", "session"), ["doc_id", "session"],
             "left_anti",
         )
         new_ckpt = new_ckpt.unionByName(keep)
-    state.checkpoint.commit(
-        new_ckpt, mode="overwrite",
-        lineage={"chunks_snapshot": current_snap, "run_id": run_id},
-    )
-    state.held.commit(res.held_full, mode="overwrite",
-                      lineage={"run_id": run_id})
 
     wall = time.perf_counter() - t_start
     summary_df = lin.withColumn("run_id", F.lit(run_id).cast("long"))
-    state.metrics.commit(summary_df, mode="append",
-                         lineage={"run_id": run_id, "wall_sec": wall})
-    counts = {r["sink"]: r["n_rows"] for r in res.counts.collect()}
+
+    # ---- ONE atomic commit covering all four state tables ----------------
+    state.group.commit(
+        {
+            "routed": (enriched, "append"),
+            "checkpoint": (new_ckpt, "overwrite"),
+            "held": (held_full, "overwrite"),
+            "metrics": (summary_df, "append"),
+        },
+        lineage={
+            "chunks_snapshot": current_snap,
+            "run_id": run_id,
+            "wall_sec": wall,
+        },
+    )
+
+    counts = {
+        r["sink"]: r["n_rows"] for r in sink_counts(enriched).collect()
+    }
     return {
         "run_id": run_id,
         "status": "ok",
-        "wall_sec": round(wall, 3),
+        "wall_sec": round(time.perf_counter() - t_start, 3),
         "sink_counts": counts,
     }
-
-
-def run_pipeline_from_parsed(parsed, routes, ckpt_df):
-    """run_pipeline, but starting from already-parsed chunk rows (the job
-    unions freshly-parsed new data with the held cache, which is stored
-    parsed)."""
-    from dataclasses import dataclass
-
-    from .operators.aggregate import sink_counts
-    from .operators.enrich import enrich
-    from .operators.reassemble import reassemble_sql
-
-    reassembled = reassemble_sql(parsed, ckpt_df)
-    enriched = enrich(reassembled, routes)
-
-    @dataclass
-    class R:
-        reassembled: DataFrame
-        enriched: DataFrame
-        counts: DataFrame
-        checkpoint_out: DataFrame
-        held_full: DataFrame
-
-    return R(
-        reassembled=reassembled,
-        enriched=enriched,
-        counts=sink_counts(enriched),
-        checkpoint_out=reassembled.selectExpr(
-            "doc_id", "session", "last_seq_out as last_seq"
-        ),
-        held_full=held_back_full(parsed, ckpt_df),
-    )
 
 
 def main() -> None:  # pragma: no cover - exercised via spark-submit
     p = argparse.ArgumentParser(description="resumable log-aggregator pass")
     p.add_argument("--chunks", required=True, help="chunks SnapshotTable root")
     p.add_argument("--routes", required=True, help="routes parquet path")
-    p.add_argument("--state", required=True, help="state dir (checkpoint/held/metrics/routed)")
+    p.add_argument("--state", required=True, help="state dir (group/staging)")
     args = p.parse_args()
 
     from .session import get_spark

@@ -251,7 +251,17 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
 
 def reassemble_sql(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
     """Same semantics as ``reassemble``, pure built-ins (no Python)."""
-    kept = _gate_flags(parsed, checkpoint).where(F.col("accepted")).drop("_first")
+    return reassemble_from_flags(_gate_flags(parsed, checkpoint))
+
+
+def reassemble_from_flags(flagged: DataFrame) -> DataFrame:
+    """The aggregate half of ``reassemble_sql``, split out so a caller that
+    MATERIALIZES the gate decision once (job.py writes ``_gate_flags``
+    output to a staging snapshot) can derive reassembly, held state and
+    checkpoint from the same physical rows — one computation observed by
+    every commit, instead of N independent recomputations that task
+    retries could silently diverge."""
+    kept = flagged.where(F.col("accepted")).drop("_first")
     return (
         kept.groupBy("doc_id", "session")
         .agg(
@@ -352,6 +362,15 @@ def reassemble_agg(parsed: DataFrame, checkpoint: DataFrame | None = None) -> Da
     )
 
 
+def held_from_flags(flagged: DataFrame) -> DataFrame:
+    """Held chunks (full payloads) from a materialized ``_gate_flags``
+    output — see ``reassemble_from_flags``."""
+    return (
+        flagged.where(~F.col("accepted") & F.col("_first"))
+        .select("doc_id", "session", "seq", "chunk_tokens", "source")
+    )
+
+
 def held_back(parsed: DataFrame, checkpoint: DataFrame | None = None) -> DataFrame:
     """The chunks the gate did NOT consume this run (gap suffixes + streams
     blocked on a resume gap) — the reference leaves these on disk for a later
@@ -371,8 +390,4 @@ def held_back_full(
     persists as the carry-over cache between runs (the exact analog of the
     reference leaving unconsumed ``.pbData`` files on disk for the next
     directory pass, ``/root/reference/datadecoder/README.md:13-15``)."""
-    return (
-        _gate_flags(parsed, checkpoint)
-        .where(~F.col("accepted") & F.col("_first"))
-        .select("doc_id", "session", "seq", "chunk_tokens", "source")
-    )
+    return held_from_flags(_gate_flags(parsed, checkpoint))

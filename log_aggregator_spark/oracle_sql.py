@@ -160,6 +160,11 @@ SELECT doc_id, session, last_seq_out AS last_seq FROM reassembled
 """,
 }
 
+# Run-splitting invariance: the Spark side computes TWO checkpointed passes
+# and concatenates; the oracle is the ordinary SINGLE-pass reassembly — the
+# equality IS the resume contract (two-pass ≡ one-pass).
+PIPELINE_SQL["pipeline_resume"] = PIPELINE_SQL["pipeline_reassemble"]
+
 # ------------------------------------------------- text / dedup oracles
 # Mirrors functions/text.py + functions/dedup.py. Loops generate the
 # bit/nibble arithmetic so the SQL cannot drift from the Spark expressions.

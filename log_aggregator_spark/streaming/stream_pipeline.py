@@ -79,6 +79,30 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _make_gate(timeout_ms: int | None):
+    """Build the stateful gate kernel. ``timeout_ms`` is the idle-state TTL
+    (ProcessingTimeTimeout): a stream whose gap is never filled — an
+    abandoned session — would otherwise hold its last_seq + held-chunk
+    buffer in the state store forever. On expiry the group's state is
+    dropped; if the stream later revives, the init rule re-anchors it
+    (last==0 accepts any first seq), exactly as the reference would treat
+    a session whose cache files were cleaned up. None = no eviction (the
+    default; bounded corpora / tests)."""
+
+    def gate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if timeout_ms is not None and state.hasTimedOut:
+            state.remove()  # abandoned stream: drop gate position + held buffer
+            return
+        for out in _gate_with_state(key, pdfs, state):
+            yield out
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+
+    return gate
+
+
 def _gate_with_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -134,10 +158,21 @@ def stream_reassemble(
     chunks_dir: str,
     routes: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of reassembled segments (one row per stream per
     micro-batch that emitted). Caller attaches the sink:
     ``.writeStream.option("checkpointLocation", ...).partitionBy("sink")``.
+
+    ``state_timeout_ms``: idle TTL after which an abandoned stream's state
+    (gate position + held chunks) is evicted — REQUIRED operationally on an
+    unbounded deployment or the state store grows without bound; None keeps
+    state forever (bounded corpora, exact batch-parity tests). Use the TTL
+    only with a continuous trigger (``processingTime=...``): processing-
+    time timeouts keep scheduling timeout-delivery micro-batches, which
+    prevents a ``Trigger.AvailableNow`` query from ever draining (observed
+    on Spark 4.1; the eviction decision itself is unit-tested kernel-side
+    in tests/test_streaming.py).
     """
     reader = spark.readStream.schema(CHUNK_SCHEMA)
     if max_files_per_trigger is not None:
@@ -148,11 +183,15 @@ def stream_reassemble(
     segments = (
         parsed.groupBy("doc_id", "session")
         .applyInPandasWithState(
-            _gate_with_state,
+            _make_gate(state_timeout_ms),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
     if routes is not None:

@@ -39,6 +39,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another committer already published this snapshot id. Iceberg's
+    commit is an atomic compare-and-swap on the metadata pointer; the
+    stand-in gets the same guarantee from O_CREAT|O_EXCL on the snapshot
+    manifest — the LOSING writer fails loudly instead of silently
+    clobbering the winner's snapshot (lost update)."""
+
+
+def _create_exclusive(path: str, content: str) -> None:
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    try:
+        os.write(fd, content.encode())
+    finally:
+        os.close(fd)
+
+
 class SnapshotTable:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -78,10 +94,17 @@ class SnapshotTable:
             "schema": df.schema.json(),
             "lineage": lineage or {},
         }
-        self._write_atomic(
-            os.path.join(self._manifest_dir, f"snap-{snap_id:08d}.json"),
-            json.dumps(manifest),
-        )
+        snap_path = os.path.join(self._manifest_dir, f"snap-{snap_id:08d}.json")
+        try:
+            # CAS: two committers racing from the same parent both target
+            # snap_id — exactly one O_EXCL create wins; the loser must
+            # re-read and retry (or fail), never silently drop the winner.
+            _create_exclusive(snap_path, json.dumps(manifest))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"snapshot {snap_id} already committed in {self.root}; "
+                "re-read the table and retry"
+            ) from e
         self._write_atomic(
             os.path.join(self._manifest_dir, "CURRENT"), str(snap_id)
         )
@@ -148,3 +171,147 @@ def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromJson(json.loads(schema_json))
+
+
+class GroupMember:
+    """Read-side handle for one table inside a :class:`TableGroup` — the
+    same read/exists/lineage surface as a standalone SnapshotTable, so
+    callers don't care whether a table commits alone or transactionally
+    with its siblings."""
+
+    def __init__(self, group: "TableGroup", name: str) -> None:
+        self._group = group
+        self.name = name
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        return self._group.read_member(spark, self.name, snapshot)
+
+    def exists(self) -> bool:
+        return self._group.member_exists(self.name)
+
+    def lineage(self, snapshot: int | None = None) -> dict:
+        return self._group.lineage(snapshot)
+
+
+class TableGroup:
+    """Atomic MULTI-table commit: one manifest names the complete file
+    lists of every member table, one CURRENT pointer swap makes them all
+    visible together.
+
+    This closes the duplicate-append crash window the per-table design had
+    (routed appended, then crash before the checkpoint overwrite → retry
+    re-appends; the reference has the same window between payload append
+    and its ``.lastSeq`` write, ``DataPumpDecoderSort.java:48-51``). With
+    one commit there IS no between: a crash anywhere before the swap
+    leaves the previous snapshot fully visible (orphaned data dirs are
+    inert garbage — exactly Iceberg's orphan-file model), and the retry
+    reprocesses the same input once.
+
+    Manifest layout: ``{"snapshot": N, "parent": P, "tables": {name:
+    {"files": [...], "added_files": [...], "schema": ...}}, "lineage":
+    {...}}``; per-member append/overwrite semantics match SnapshotTable;
+    the snap file is O_EXCL-created (CAS, see ConcurrentCommitError)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._manifest_dir = os.path.join(root, "manifests")
+
+    # ---------------------------------------------------------- write path
+
+    def commit(
+        self,
+        tables: dict[str, tuple[DataFrame, str]],
+        lineage: dict | None = None,
+    ) -> int:
+        """tables: name → (df, mode) with mode in {'append', 'overwrite'}.
+        Members absent from ``tables`` carry forward unchanged. Returns the
+        new snapshot id; nothing is visible until the single CURRENT swap
+        at the end."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        parent = self.current_snapshot()
+        parent_tables = self._manifest(parent)["tables"] if parent else {}
+
+        entries: dict[str, dict] = {}
+        for name, (df, mode) in tables.items():
+            data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+            df.write.mode("overwrite").parquet(data_dir)
+            new_files = sorted(
+                p for p in glob.glob(os.path.join(data_dir, "part-*"))
+                if not p.endswith(".crc")
+            )
+            files = list(new_files)
+            if mode == "append" and name in parent_tables:
+                files = parent_tables[name]["files"] + files
+            entries[name] = {
+                "files": files,
+                "added_files": new_files,
+                "schema": df.schema.json(),
+            }
+        for name, t in parent_tables.items():
+            if name not in entries:
+                entries[name] = {**t, "added_files": []}
+
+        snap_id = (parent or 0) + 1
+        manifest = {
+            "snapshot": snap_id,
+            "parent": parent,
+            "tables": entries,
+            "lineage": lineage or {},
+        }
+        self._publish(snap_id, manifest)
+        return snap_id
+
+    def _publish(self, snap_id: int, manifest: dict) -> None:
+        """The commit point: CAS-create the snap manifest, then swap
+        CURRENT. Split out so crash-injection tests can kill the job right
+        before visibility."""
+        snap_path = os.path.join(self._manifest_dir, f"snap-{snap_id:08d}.json")
+        try:
+            _create_exclusive(snap_path, json.dumps(manifest))
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"snapshot {snap_id} already committed in {self.root}; "
+                "re-read the group and retry"
+            ) from e
+        SnapshotTable._write_atomic(
+            os.path.join(self._manifest_dir, "CURRENT"), str(snap_id)
+        )
+
+    # ----------------------------------------------------------- read path
+
+    def table(self, name: str) -> GroupMember:
+        return GroupMember(self, name)
+
+    def current_snapshot(self) -> int | None:
+        try:
+            with open(os.path.join(self._manifest_dir, "CURRENT")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, snap_id: int) -> dict:
+        with open(
+            os.path.join(self._manifest_dir, f"snap-{snap_id:08d}.json")
+        ) as f:
+            return json.load(f)
+
+    def member_exists(self, name: str) -> bool:
+        snap = self.current_snapshot()
+        return snap is not None and name in self._manifest(snap)["tables"]
+
+    def read_member(
+        self, spark: SparkSession, name: str, snapshot: int | None = None
+    ) -> DataFrame:
+        snap = snapshot if snapshot is not None else self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        entry = self._manifest(snap)["tables"][name]
+        if not entry["files"]:
+            return spark.createDataFrame(
+                [], schema=_schema_from_json(entry["schema"])
+            )
+        return spark.read.parquet(*entry["files"])
+
+    def lineage(self, snapshot: int | None = None) -> dict:
+        snap = snapshot if snapshot is not None else self.current_snapshot()
+        return self._manifest(snap)["lineage"] if snap else {}

@@ -212,6 +212,129 @@ def test_midstream_init_across_runs(spark, tmp_path):
     assert state.held.read(spark).count() == 0
 
 
+def test_crash_before_publish_leaves_no_partial_state(spark, tmp_path, monkeypatch):
+    """Kill the job right before the TableGroup CURRENT swap: NOTHING is
+    visible (no routed rows, no checkpoint advance); the retry processes
+    the same chunks snapshot exactly once — no duplicate appends, no
+    replayed run_id."""
+    from log_aggregator_spark.tableio import TableGroup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 3,
+            "session": [10] * 3,
+            "seq": [1, 2, 3],
+            "chunk_tokens": [[1], [2], [3]],
+            "source": ["src1"] * 3,
+        }
+    )
+    full = spark.createDataFrame(
+        pdf, schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string"
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+    ct.commit(encode_envelope(full).select("envelope", "chunk_tokens", "source"))
+
+    real_publish = TableGroup._publish
+
+    def crash(self, snap_id, manifest):
+        raise RuntimeError("simulated crash before commit point")
+
+    monkeypatch.setattr(TableGroup, "_publish", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_job(spark, ct, routes, state)
+
+    # commit point never reached → previous state (nothing) fully visible
+    assert state.group.current_snapshot() is None
+    assert not state.routed.exists() and not state.checkpoint.exists()
+
+    # retry with the crash removed: exactly-once output
+    monkeypatch.setattr(TableGroup, "_publish", real_publish)
+    r = run_job(spark, ct, routes, state)
+    assert r["status"] == "ok"
+    routed = state.routed.read(spark).toPandas()
+    assert len(routed) == 1 and list(routed["tokens"].iloc[0]) == [1, 2, 3]
+    assert routed["run_id"].nunique() == 1
+    ck = state.checkpoint.read(spark).collect()
+    assert len(ck) == 1 and ck[0]["last_seq"] == 3
+
+
+def test_concurrent_commit_cas_fails_loudly(spark, tmp_path):
+    """Two committers racing from the same parent: the loser gets
+    ConcurrentCommitError instead of silently clobbering the winner."""
+    from log_aggregator_spark.tableio import ConcurrentCommitError, TableGroup
+
+    df = spark.range(3).select(F.col("id").alias("x"))
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(df)
+    stale = SnapshotTable(str(tmp_path / "t"))
+    stale.current_snapshot = lambda: None  # raced: read parent before commit 1
+    with pytest.raises(ConcurrentCommitError):
+        stale.commit(df)
+    assert t.read(spark).count() == 3  # winner's snapshot intact
+
+    g = TableGroup(str(tmp_path / "g"))
+    g.commit({"a": (df, "overwrite")})
+    stale_g = TableGroup(str(tmp_path / "g"))
+    stale_g.current_snapshot = lambda: None
+    with pytest.raises(ConcurrentCommitError):
+        stale_g.commit({"a": (df, "overwrite")})
+    assert g.table("a").read(spark).count() == 3
+
+
+def test_session_restart_across_runs(spark, tmp_path):
+    """Truncation/rotation mid-corpus across a checkpointed run boundary
+    (reference ``LogTail.java:60-82`` MOVED/TRUNCATED + ``PathProvider.
+    java:36``): run 1 checkpoints session 10 at seq 2; run 2 delivers the
+    old session's continuation AND a new session whose seq restarts at 1.
+    The old session must resume at last+1, the new one must init-accept —
+    both from the same pass."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 5,
+            "session": [10, 10, 10, 20, 20],
+            "seq": [1, 2, 3, 1, 2],
+            "chunk_tokens": [[1], [2], [3], [10], [11]],
+            "source": ["src1"] * 5,
+        }
+    )
+    full = spark.createDataFrame(
+        pdf, schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string"
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+
+    # run 1: session 10 seqs 1-2 only
+    ct.commit(encode_envelope(
+        full.where((F.col("session") == 10) & (F.col("seq") <= 2))
+    ).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state)
+    ck1 = {(r["doc_id"], r["session"]): r["last_seq"]
+           for r in state.checkpoint.read(spark).collect()}
+    assert ck1 == {("d", 10): 2}
+
+    # run 2: session 10 continuation + session 20 restart at seq 1
+    ct.commit(encode_envelope(
+        full.where((F.col("seq") == 3) | (F.col("session") == 20))
+    ).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state)
+
+    got = _segments(state, spark)
+    segs = {(r.doc_id, r.session): list(r.tokens) for r in got.itertuples()}
+    assert segs == {("d", 10): [1, 2, 3], ("d", 20): [10, 11]}
+    ck2 = {(r["doc_id"], r["session"]): r["last_seq"]
+           for r in state.checkpoint.read(spark).collect()}
+    assert ck2 == {("d", 10): 3, ("d", 20): 2}
+    assert state.held.read(spark).count() == 0
+
+
 def test_lineage_metrics_recorded(spark, docs, tmp_path):
     chunks = chunker.chunks(docs)
     ct = SnapshotTable(str(tmp_path / "chunks"))

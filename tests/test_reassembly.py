@@ -86,6 +86,16 @@ CASES = {
         [_chunk("a", 10, 0, [0]), _chunk("a", 10, 2, [2])],
         [("a", 10, 1)],
     ),
+    "resume_new_session_restart": (
+        # truncation/rotation semantics (reference LogTail.java:60-82
+        # MOVED/TRUNCATED → new session, seq restarts at 1): the OLD
+        # session resumes against its checkpoint while the NEW session's
+        # seq-1 restart is init-accepted (fresh key ⇒ last==0) — the
+        # session component of the stream key is what dissolves the
+        # reference's file-state detector into plain keyed state.
+        [_chunk("a", 10, 3, [3]), _chunk("a", 20, 1, [10]), _chunk("a", 20, 2, [11])],
+        [("a", 10, 2)],
+    ),
 }
 
 

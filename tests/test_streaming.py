@@ -106,6 +106,135 @@ def test_streaming_gap_fill_across_microbatches(spark, tmp_path):
     assert len(_segments(spark, out)) == 2
 
 
+def test_streaming_kill_restart_matches_batch(spark, tmp_path):
+    """The exactly-once claim, end-to-end on a real corpus slice: deliver
+    half the chunks, run the query to completion and KILL it; deliver the
+    rest; restart from the same checkpointLocation; the union of routed
+    output across both query incarnations must equal the batch pipeline's
+    result stream-for-stream (segments concatenated in emission order)."""
+    docs = chunker.load_documents(spark, SF_DIR).limit(60)
+    chunks = chunker.chunks(docs)
+    routes = chunker.routes_table(docs)
+    seq = F.regexp_extract("envelope", r"_(\d+)\.pbData$", 1).cast("long")
+    cdir, out, ckpt = (str(tmp_path / p) for p in ("chunks", "out", "ckpt"))
+
+    def run_query():
+        return (
+            stream_reassemble(spark, cdir, routes=routes)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _write_batch(chunks.where(seq <= 2), cdir)
+    q1 = run_query()
+    q1.awaitTermination(300)
+    q1.stop()  # the kill
+
+    _write_batch(chunks.where(seq > 2), cdir)
+    q2 = run_query()  # restart: state + progress from checkpointLocation
+    q2.awaitTermination(300)
+
+    routed = spark.read.parquet(out)
+    got = (
+        routed.groupBy("doc_id", "session")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("last_seq_out", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens"),
+            F.first("sink").alias("sink"),
+        )
+        .toPandas()
+        .sort_values(["doc_id", "session"])
+        .reset_index(drop=True)
+    )
+    got["tokens"] = got["tokens"].map(list)
+    want = (
+        run_pipeline(chunks, routes)
+        .enriched.select("doc_id", "session", "tokens", "sink")
+        .toPandas()
+        .sort_values(["doc_id", "session"])
+        .reset_index(drop=True)
+    )
+    want["tokens"] = want["tokens"].map(list)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "session", "tokens", "sink"]],
+        want[["doc_id", "session", "tokens", "sink"]],
+        check_dtype=False,
+    )
+
+
+class _FakeState:
+    """Minimal GroupState double for kernel-level tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_state_ttl_kernel_eviction():
+    """The TTL eviction decision, unit-tested at the kernel level (the
+    integration form is blocked: ProcessingTimeTimeout keeps scheduling
+    timeout batches, so an availableNow query never drains — see
+    stream_reassemble docstring). Three properties: a timed-out group's
+    state (gate position + held buffer) is dropped and nothing is emitted;
+    a live group re-arms its timeout after every batch; the no-TTL kernel
+    never touches timeout APIs."""
+    from log_aggregator_spark.streaming.stream_pipeline import _make_gate
+
+    gate = _make_gate(500)
+
+    # timed-out group: state dropped, nothing emitted
+    st = _FakeState(value=(2, [4], [[4]], "s"), timed_out=True)
+    out = list(gate(("d", 10), iter([]), st))
+    assert out == [] and st.removed and st.timeout_set is None
+
+    # live group with data: emits, keeps state, re-arms the TTL
+    pdf = pd.DataFrame({"seq": [1, 2], "chunk_tokens": [[1], [2]], "source": ["s", "s"]})
+    st2 = _FakeState()
+    out2 = list(gate(("d", 10), iter([pdf]), st2))
+    assert len(out2) == 1 and list(out2[0]["tokens"].iloc[0]) == [1, 2]
+    assert st2.exists and st2.timeout_set == 500
+
+    # after eviction, a revived stream re-anchors via the init rule:
+    # fresh state, seq 3 alone is accepted (last == 0 accepts any first)
+    pdf3 = pd.DataFrame({"seq": [3], "chunk_tokens": [[3]], "source": ["s"]})
+    st3 = _FakeState()
+    out3 = list(gate(("d", 10), iter([pdf3]), st3))
+    assert len(out3) == 1 and list(out3[0]["tokens"].iloc[0]) == [3]
+
+    # no-TTL kernel: timeout APIs untouched
+    gate_none = _make_gate(None)
+    st4 = _FakeState()
+    list(gate_none(("d", 10), iter([pdf]), st4))
+    assert st4.timeout_set is None
+
+
 def test_streaming_enrich_broadcast(spark, tmp_path):
     docs = chunker.load_documents(spark, SF_DIR).limit(20)
     chunks = chunker.chunks(docs)
