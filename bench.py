@@ -225,7 +225,9 @@ def main_default(args) -> None:
         prev_file = os.path.basename(rounds[-1])
         try:
             with open(rounds[-1]) as f:
-                prev_queries = json.load(f).get("queries", {})
+                prev = json.load(f)
+            # the driver wraps bench.py's JSON line under "parsed"
+            prev_queries = prev.get("queries") or prev.get("parsed", {}).get("queries", {})
         except (OSError, json.JSONDecodeError):
             prev_queries = {}
     delta_pct = {
