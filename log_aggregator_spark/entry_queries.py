@@ -270,6 +270,22 @@ def q_ev_props_extract(spark, sf_dir):
     return fev.props_extract(_events(spark, sf_dir))
 
 
+def q_ev_percentiles(spark, sf_dir):
+    return fev.value_percentiles(_events(spark, sf_dir))
+
+
+def q_ev_windowed_topk(spark, sf_dir):
+    return fev.windowed_topk_types(_events(spark, sf_dir))
+
+
+def q_text_ngram_counts(spark, sf_dir):
+    return ftext.ngram_counts(_docs(spark, sf_dir))
+
+
+def q_mm_format_stats(spark, sf_dir):
+    return fmm.format_stats(_docs(spark, sf_dir))
+
+
 # ------------------------------------------------ multimodal queries
 
 
@@ -321,6 +337,10 @@ QUERIES: dict[str, QueryFn] = {
     "ev_topk_users": q_ev_topk_users,
     "ev_error_rate": q_ev_error_rate,
     "ev_props_extract": q_ev_props_extract,
+    "ev_percentiles": q_ev_percentiles,
+    "ev_windowed_topk": q_ev_windowed_topk,
+    "text_ngram_counts": q_text_ngram_counts,
+    "mm_format_stats": q_mm_format_stats,
 }
 
 ORACLES: dict[str, str] = {

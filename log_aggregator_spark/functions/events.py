@@ -118,6 +118,54 @@ def error_rate(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p95 of value per event_type — the latency-percentile
+    query of a telemetry pipeline. Values are integerized (×100) BEFORE
+    the percentile so both engines interpolate over exact integers (linear
+    interpolation on the same (n-1)·p rank formula); results ×10 so the
+    midpoint .5 cases stay exact.
+    (event_type, n_events, p50_x1000, p95_x1000).
+
+    Scale: percentile is an exact aggregate over the per-type group — one
+    shuffle on event_type (tiny cardinality), each group sorted within its
+    task; for extreme-cardinality groups a production pipeline would swap
+    approx_percentile (t-digest, map-combinable) at the cost of leaving
+    the oracle gate."""
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.select("event_type", v100.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.floor(F.percentile("v", F.lit(0.5)) * 10).cast("long").alias("p50_x1000"),
+            F.floor(F.percentile("v", F.lit(0.95)) * 10).cast("long").alias("p95_x1000"),
+        )
+    )
+
+
+WINDOWED_TOPK = 3
+
+
+def windowed_topk_types(events: DataFrame, k: int = WINDOWED_TOPK) -> DataFrame:
+    """Top-k event types per hour — the partitioned-window top-k shape
+    (contrast ``topk_users``): the rank window partitions on hour_epoch,
+    so work scatters across partitions and no task ever sees more than one
+    hour's type counts (bounded by the type cardinality).
+    (hour_epoch, rank, event_type, n_events)."""
+    counts = events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.desc("n_events"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("hour_epoch", "rank", "event_type", "n_events")
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

@@ -185,6 +185,21 @@ def frame_sample(documents: DataFrame, every: int = 2) -> DataFrame:
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+def format_stats(documents: DataFrame) -> DataFrame:
+    """Per-format corpus statistics over the media table — runs entirely on
+    the JVM-side feature projection (no codec, no Python): at scale this is
+    the query that must NOT read payload bytes, and the meta/payload column
+    split guarantees the scan prunes them.
+    (fmt, n_objects, total_payload_bytes, total_frames, max_frames)."""
+    f = _with_jvm_features(documents)
+    return f.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_objects"),
+        F.sum("payload_bytes").cast("long").alias("total_payload_bytes"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.max("n_frames").cast("long").alias("max_frames"),
+    )
+
+
 def resize_stub(documents: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize — genuinely needs a codec; stubbed per brief."""
     raise NotImplementedError(

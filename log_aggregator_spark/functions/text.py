@@ -152,6 +152,24 @@ def vocabulary(documents: DataFrame, top_n: int = VOCAB_TOPN) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.col("word")).limit(top_n)
 
 
+def ngram_counts(documents: DataFrame, n: int = 2, top_n: int = VOCAB_TOPN) -> DataFrame:
+    """Top-N word n-grams by OCCURRENCE count (not distinct-per-doc like
+    ``shingles``) — the bigram/LM-statistics build step. Same partial-agg +
+    TakeOrderedAndProject shape as ``vocabulary``.
+    (ngram, n_occurrences, n_docs)."""
+    w = words(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    g = documents.select("doc_id", F.explode(grams).alias("ngram"))
+    counts = g.groupBy("ngram").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.col("ngram")).limit(top_n)
+
+
 def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     """Deterministic content-hash sampling within each source stratum:
     keep a doc iff the first hex nibble of md5(doc_id) < keep_16ths

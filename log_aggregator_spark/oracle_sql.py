@@ -395,6 +395,24 @@ SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
 FROM wds GROUP BY word
 ORDER BY n_occurrences DESC, word LIMIT {VOCAB_TOPN}
 """,
+        # non-distinct n-grams (occurrence counts) — mirrors text.ngram_counts,
+        # incl. the short-tail gram for docs with < n words
+        "text_ngram_counts": f"""
+WITH lw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS ngram
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-1, 1) + 1)) AS i
+        FROM lw)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT {VOCAB_TOPN}
+""",
     }
 
 
@@ -639,6 +657,29 @@ SELECT event_type,
        CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
+    # percentiles over PRE-integerized values (×100) so both engines
+    # interpolate over exact integers with the same (n-1)·p rank formula
+    "ev_percentiles": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(quantile_cont(v, 0.5) * 10) AS BIGINT) AS p50_x1000,
+       CAST(floor(quantile_cont(v, 0.95) * 10) AS BIGINT) AS p95_x1000
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+GROUP BY event_type
+""",
+    "ev_windowed_topk": """
+SELECT hour_epoch, CAST(rank AS BIGINT) AS rank, event_type, n_events
+FROM (
+  SELECT hour_epoch, event_type, n_events,
+         row_number() OVER (PARTITION BY hour_epoch
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM (
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= 3
+""",
 }
 
 MM_SQL: dict[str, str] = {
@@ -657,5 +698,13 @@ FROM mf
 SELECT doc_id,
        CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 2)) AS BIGINT) AS frame_idx
 FROM mf
+""",
+    "mm_format_stats": _MM_PRELUDE
+    + """
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_objects,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_payload_bytes,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(max(n_frames) AS BIGINT) AS max_frames
+FROM mf GROUP BY fmt
 """,
 }

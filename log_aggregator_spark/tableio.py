@@ -173,6 +173,103 @@ def _schema_from_json(schema_json: str):
     return StructType.fromJson(json.loads(schema_json))
 
 
+class IcebergTable:
+    """The real-Iceberg backend the north rule names — the same
+    commit/read/read_incremental/lineage surface as ``SnapshotTable``, over
+    a catalog table via the public Iceberg–Spark integration (DataFrame
+    ``writeTo`` V2 API + the ``.snapshots`` metadata table + incremental
+    reads with ``start-snapshot-id``/``end-snapshot-id``).
+
+    Requirements (a real deployment, not this sandbox — no network, no
+    runtime jar): the ``iceberg-spark-runtime`` jar on the classpath and a
+    catalog configured, e.g.::
+
+        spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.lake.type = hadoop      # or hive/rest
+        spark.sql.catalog.lake.warehouse = s3://.../warehouse
+
+    Construction performs a capability check and fails with these
+    instructions when the runtime is absent, so the switch is a flipped
+    constructor (``IcebergTable(spark, "lake.db.routed")`` in place of
+    ``SnapshotTable(path)``), not a rewrite."""
+
+    def __init__(self, spark: SparkSession, name: str) -> None:
+        if not self.available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath: add the "
+                "iceberg-spark-runtime jar and a spark.sql.catalog.<name> "
+                "configuration (see IcebergTable docstring), or use the "
+                "SnapshotTable parquet backend"
+            )
+        self.spark = spark
+        self.name = name
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    # same surface as SnapshotTable ---------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append", lineage: dict | None = None) -> int:
+        w = df.writeTo(self.name)
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+        if lineage:
+            props = ", ".join(
+                f"'lineage.{k}'='{v}'" for k, v in lineage.items()
+            )
+            self.spark.sql(f"ALTER TABLE {self.name} SET TBLPROPERTIES ({props})")
+        return self.current_snapshot() or 0
+
+    def current_snapshot(self) -> int | None:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.name}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.name)
+
+    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+        r = spark.read.format("iceberg")
+        if snapshot is not None:
+            r = r.option("snapshot-id", str(snapshot))
+        return r.load(self.name)
+
+    def read_incremental(self, spark: SparkSession, since: int | None) -> DataFrame | None:
+        current = self.current_snapshot()
+        if current is None or current == since:
+            return None
+        if since is None:
+            return self.read(spark, current)
+        return (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", str(since))
+            .option("end-snapshot-id", str(current))
+            .load(self.name)
+        )
+
+    def lineage(self, snapshot: int | None = None) -> dict:
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.name}").collect()
+        }
+        return {
+            k[len("lineage."):]: v
+            for k, v in props.items()
+            if k.startswith("lineage.")
+        }
+
+
 class GroupMember:
     """Read-side handle for one table inside a :class:`TableGroup` — the
     same read/exists/lineage surface as a standalone SnapshotTable, so

@@ -335,6 +335,17 @@ def test_session_restart_across_runs(spark, tmp_path):
     assert state.held.read(spark).count() == 0
 
 
+def test_iceberg_backend_capability_gate(spark):
+    """The IcebergTable switch is real code behind a capability check: in
+    this jar-less sandbox `available()` is False and construction raises
+    with setup instructions rather than failing deep inside a write."""
+    from log_aggregator_spark.tableio import IcebergTable
+
+    assert IcebergTable.available(spark) is False
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergTable(spark, "lake.db.routed")
+
+
 def test_lineage_metrics_recorded(spark, docs, tmp_path):
     chunks = chunker.chunks(docs)
     ct = SnapshotTable(str(tmp_path / "chunks"))
