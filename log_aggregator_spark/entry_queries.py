@@ -208,6 +208,10 @@ def q_dedup_clusters(spark, sf_dir):
     return fdedup.duplicate_clusters(_docs(spark, sf_dir))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    return fdedup.survivors_by_quality(_docs(spark, sf_dir))
+
+
 def q_text_vocab(spark, sf_dir):
     return ftext.vocabulary(_docs(spark, sf_dir))
 
@@ -322,6 +326,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "text_vocab": q_text_vocab,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_cosine_near_dup": q_sim_cosine_near_dup,

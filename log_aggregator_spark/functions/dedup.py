@@ -305,7 +305,11 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    while True:
+    # pointer jumping halves label-chain depth per round → ≤ ~log2(n) rounds;
+    # the cap is a runaway backstop (a pair graph over 2^64 nodes would need
+    # 64), not a tuning knob.
+    max_iters = 64
+    for _ in range(max_iters):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -342,6 +346,8 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:  # pragma: no cover - unreachable below 2^64 nodes
+        raise RuntimeError("components did not converge within 64 rounds")
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -364,4 +370,38 @@ def duplicate_clusters(documents: DataFrame) -> DataFrame:
     from."""
     return components(
         all_near_dup_pairs(documents), documents.select("doc_id")
+    )
+
+
+def survivors_by_quality(documents: DataFrame) -> DataFrame:
+    """Survivor re-pick by CONTENT QUALITY: within each duplicate cluster
+    keep the doc with the most words (tie → min doc_id) — the policy real
+    training pipelines want ("keep the longest/cleanest copy") as opposed
+    to ``components``' structural min-id canonical. One partitioned rank
+    window over the cluster labels; the quality join is a narrow
+    broadcast-size projection.
+    (cluster_id, survivor_doc, n_docs, survivor_n_words)."""
+    from pyspark.sql import Window
+
+    from .text import words
+
+    clusters = duplicate_clusters(documents).select("doc_id", "cluster_id")
+    qn = documents.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_words")
+    )
+    joined = clusters.join(qn, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("n_docs", F.count("*").over(wc).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc"),
+            "n_docs",
+            F.col("n_words").alias("survivor_n_words"),
+        )
     )

@@ -139,14 +139,17 @@ def brute_topk(
     k: int = TOPK,
     allow_quadratic: bool = False,
     max_rows: int = QUADRATIC_MAX_ROWS,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector.
-    (vec_id, rank, neighbor_id, sim_x1m)."""
+    """Exact top-k cosine neighbors per vector. ``queries`` optionally
+    restricts the ranked (left) side — candidates always come from the
+    full corpus. (vec_id, rank, neighbor_id, sim_x1m)."""
     _guard_quadratic(embeddings, allow_quadratic, max_rows)
     v = _vecs(embeddings)
+    left = _vecs(queries) if queries is not None else v
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("nb_id"))
     return (
-        _pair_sim(v, v)
+        _pair_sim(left, v)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -269,11 +272,17 @@ def lsh_candidate_pairs(embeddings: DataFrame, tau: float = LSH_TAU) -> DataFram
     )
 
 
-def lsh_topk(embeddings: DataFrame, k: int = LSH_TOPK) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame, k: int = LSH_TOPK, queries: DataFrame | None = None
+) -> DataFrame:
     """Approximate top-k: rank exact cosine *within LSH candidates only*
-    (both directions of each pair). (vec_id, rank, neighbor_id)."""
+    (both directions of each pair). ``queries`` optionally restricts the
+    ranked side (its band keys are recomputed — a narrow projection — so
+    the candidate join's left input shrinks proportionally).
+    (vec_id, rank, neighbor_id)."""
     bk = _banded(embeddings)
-    left = bk.select("vec_id", "v", "n2", "band", "bucket")
+    left_src = _banded(queries) if queries is not None else bk
+    left = left_src.select("vec_id", "v", "n2", "band", "bucket")
     right = bk.select(
         F.col("vec_id").alias("nb_id"),
         F.col("v").alias("nb_v"),
@@ -308,24 +317,48 @@ def lsh_topk(embeddings: DataFrame, k: int = LSH_TOPK) -> DataFrame:
     )
 
 
-def lsh_recall(embeddings: DataFrame, k: int = LSH_TOPK) -> DataFrame:
+QUERY_SAMPLE_16THS = 4  # recall measured over 4/16 of vectors as queries
+
+
+def _query_sample(embeddings: DataFrame, keep_16ths: int) -> DataFrame:
+    """Deterministic content-hash sample of QUERY vectors (same nibble
+    scheme as text.sample_stratified — reproducible, engine-portable,
+    never rand())."""
+    nib = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return embeddings.where(nib < keep_16ths)
+
+
+def lsh_recall(
+    embeddings: DataFrame,
+    k: int = LSH_TOPK,
+    query_sample_16ths: int = QUERY_SAMPLE_16THS,
+) -> DataFrame:
     """Measured recall@k of the LSH index vs exact brute-force ground truth
     — the number that turns the ANN path from "runs" into "shippable".
     One row: (n_vecs, n_hits, recall_x1000) with
     recall_x1000 = floor(1000 · |approx ∩ truth| / |truth|), integer math.
 
-    Inherits the quadratic guard through ``brute_topk``: recall is only
-    measurable on a sample, and the guard makes that a property, not a
-    convention. At 100 TB you run this on a ~10⁴-vector sample to tune
-    (N_BANDS, BITS_PER_BAND), then deploy the LSH path corpus-wide.
+    Recall is estimated over a deterministic hash-sample of QUERY vectors
+    (default 4/16) ranked against the FULL corpus — ground truth for a
+    sampled query needs every candidate, but not every vector needs to be
+    a query; sampling the query side cuts the brute-force cost by
+    16/query_sample_16ths at identical statistical value. The quadratic
+    guard still applies through ``brute_topk``: at 100 TB you run this on
+    a ≲10⁵-vector corpus sample to tune (N_BANDS, BITS_PER_BAND), then
+    deploy the LSH path corpus-wide.
 
     Measured on the fixture (500 iid-gaussian 64-dim vecs — the adversarial
     near-orthogonal case; see the parameter sweep at the top of this
     module): recall@3 = 0.584 at 16 bands × 6 bits, 23% candidate volume.
     The value is recorded by the driver's CORRECTNESS gate every round, so
     a re-tune that silently hurts recall fails the gate."""
-    truth = brute_topk(embeddings, k=k).select("vec_id", "neighbor_id")
-    approx = lsh_topk(embeddings, k=k).select(
+    queries = _query_sample(embeddings, query_sample_16ths)
+    truth = brute_topk(embeddings, k=k, queries=queries).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = lsh_topk(embeddings, k=k, queries=queries).select(
         "vec_id", "neighbor_id", F.lit(1).alias("hit")
     )
     joined = truth.join(approx, ["vec_id", "neighbor_id"], "left")

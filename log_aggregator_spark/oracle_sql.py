@@ -265,6 +265,42 @@ minhash_pairs AS (
 )
 
 
+# Full CTE chain computing duplicate clusters (shared by dedup_clusters and
+# dedup_survivors): union pair graph → recursive min-reach closure.
+_CLUSTERS_CTES = (
+    "WITH RECURSIVE "
+    + _TEXT_PRELUDE_BODY
+    + f""",
+{_MINHASH_PAIR_CTES},
+{_SIMHASH_PAIR_CTES},
+ek AS (SELECT md5(lower(trim(text))) AS key, doc_id FROM documents),
+exact_pairs AS (
+  SELECT m.canon AS doc_a, e.doc_id AS doc_b
+  FROM ek e JOIN (SELECT key, min(doc_id) AS canon FROM ek GROUP BY key) m USING (key)
+  WHERE e.doc_id > m.canon
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM exact_pairs
+  UNION SELECT doc_a, doc_b FROM minhash_pairs
+  UNION SELECT doc_a, doc_b FROM simhash_pairs
+  WHERE bit_count(xor(sim_a, sim_b)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, peer) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+),
+clusters AS (
+  SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(peer) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc
+)"""
+)
+
+
 def _text_sql() -> dict[str, str]:
     langs = sorted(LANG_PROFILES)
     c_cols = ", ".join(
@@ -353,36 +389,29 @@ SELECT doc_id, CAST({_SIM_COMBINE} AS BIGINT) AS simhash FROM bits
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
 FROM simhash_pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
-        "dedup_clusters": "WITH RECURSIVE "
-        + _TEXT_PRELUDE_BODY
-        + f""",
-{_MINHASH_PAIR_CTES},
-{_SIMHASH_PAIR_CTES},
-ek AS (SELECT md5(lower(trim(text))) AS key, doc_id FROM documents),
-exact_pairs AS (
-  SELECT m.canon AS doc_a, e.doc_id AS doc_b
-  FROM ek e JOIN (SELECT key, min(doc_id) AS canon FROM ek GROUP BY key) m USING (key)
-  WHERE e.doc_id > m.canon
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM exact_pairs
-  UNION SELECT doc_a, doc_b FROM minhash_pairs
-  UNION SELECT doc_a, doc_b FROM simhash_pairs
-  WHERE bit_count(xor(sim_a, sim_b)) <= 3
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(doc, peer) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+        "dedup_clusters": _CLUSTERS_CTES
+        + """
+SELECT doc_id, cluster_id,
+       CAST(doc_id = cluster_id AS BIGINT) AS is_canonical
+FROM clusters
+""",
+        # survivor re-pick by quality (longest doc wins, tie → min doc_id)
+        "dedup_survivors": _CLUSTERS_CTES
+        + r"""
+, qn AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+  FROM documents
 )
-SELECT CAST(doc AS BIGINT) AS doc_id,
-       CAST(min(peer) AS BIGINT) AS cluster_id,
-       CAST(doc = min(peer) AS BIGINT) AS is_canonical
-FROM reach GROUP BY doc
+SELECT cluster_id, survivor_doc, n_docs, survivor_n_words
+FROM (
+  SELECT c.cluster_id,
+         c.doc_id AS survivor_doc,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_docs,
+         qn.n_words AS survivor_n_words,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qn.n_words DESC, c.doc_id) AS rn
+  FROM clusters c JOIN qn USING (doc_id)
+) WHERE rn = 1
 """,
         "text_vocab": TEXT_PRELUDE
         + f"""
@@ -438,6 +467,13 @@ p AS (
 
 def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+# deterministic query-vector sample predicate (similarity._query_sample)
+_QSAMPLE_PRED = (
+    "strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1 "
+    f"< {_sim.QUERY_SAMPLE_16THS}"
+)
 
 
 def _bucket_expr(b: int, v: str = "v") -> str:
@@ -514,6 +550,8 @@ FROM (
   )
 ) WHERE rank <= {_sim.LSH_TOPK}
 """,
+        # recall over the deterministic 4/16 query-vector sample (mirrors
+        # similarity._query_sample) ranked against the full corpus
         "sim_lsh_recall": _SIM_PRELUDE
         + f"""{banded},
 truth AS (
@@ -521,6 +559,7 @@ truth AS (
     SELECT vec_id, nb_id AS neighbor_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
     FROM p
+    WHERE {_QSAMPLE_PRED.format(col="vec_id")}
   ) WHERE rank <= {_sim.LSH_TOPK}
 ),
 approx AS (
@@ -533,6 +572,7 @@ approx AS (
                / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
       FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                          AND a.vec_id <> b.vec_id
+      WHERE {_QSAMPLE_PRED.format(col="a.vec_id")}
       GROUP BY a.vec_id, b.vec_id
     )
   ) WHERE rank <= {_sim.LSH_TOPK}
