@@ -111,6 +111,25 @@ def main() -> None:
                          ["TakeOrderedAndProject: no single-partition window "
                           "over the full aggregate"]))
 
+    # --- multimodal stats: payload bytes / Python must never appear ------
+    mq = QUERIES["mm_format_stats"](spark, SF)
+    mplan = fmt_plan(mq)
+    check("mm stats pure JVM",
+          "Python" not in mplan and "Arrow" not in mplan,
+          "per-format media stats must not decode payloads (no Python/Arrow "
+          "node in the plan)")
+    sections.append(("mm_format_stats", mplan,
+                     ["JVM-only projection + partial aggregate — payload "
+                      "bytes never cross into Python"]))
+
+    # --- dedup jaccard: equi-join on the (df-capped) shingle key ---------
+    jq = QUERIES["dedup_ngram_jaccard"](spark, SF)
+    jplan = fmt_plan(jq)
+    check("jaccard no cartesian", "CartesianProduct" not in jplan,
+          "shingle pair generation must be an equi-join, never a cross join")
+    sections.append(("dedup_ngram_jaccard", jplan,
+                     ["equi-join on the df-capped shingle key"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,
