@@ -235,6 +235,65 @@ def test_state_ttl_kernel_eviction():
     assert st4.timeout_set is None
 
 
+def test_streaming_event_windows_match_batch(spark, tmp_path):
+    """Watermarked tumbling windows + session windows over the events
+    stream must agree with the batch family on identical bounded input
+    (complete-mode memory sink)."""
+    from log_aggregator_spark.functions import events as fev
+    from log_aggregator_spark.streaming import (
+        stream_events,
+        stream_sessionize,
+        stream_tumbling_counts,
+    )
+
+    batch_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edir = str(tmp_path / "events")
+    batch_events.write.parquet(edir)
+    sev = stream_events(spark, edir)
+
+    def drain_complete(sdf, name):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name).toPandas()
+
+    # tumbling
+    got = drain_complete(stream_tumbling_counts(sev), "tumb")
+    want = (
+        fev.tumbling_counts(batch_events)
+        .select("hour_epoch", "event_type", "n_events", "sum_value_x100")
+        .toPandas()
+    )
+    key = ["hour_epoch", "event_type"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # sessions: same (user, start, max-ts, count) set as the batch
+    # gap-based sessionize
+    gots = drain_complete(stream_sessionize(sev), "sess")
+    wants = (
+        fev.sessionize(batch_events)
+        .select("user_id", "start_epoch",
+                F.col("end_epoch").alias("end_epoch_max"), "n_events")
+        .toPandas()
+    )
+    key = ["user_id", "start_epoch"]
+    pd.testing.assert_frame_equal(
+        gots[["user_id", "start_epoch", "end_epoch_max", "n_events"]]
+        .sort_values(key).reset_index(drop=True),
+        wants.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_streaming_enrich_broadcast(spark, tmp_path):
     docs = chunker.load_documents(spark, SF_DIR).limit(20)
     chunks = chunker.chunks(docs)
