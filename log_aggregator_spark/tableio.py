@@ -166,6 +166,77 @@ class SnapshotTable:
         snap = snapshot if snapshot is not None else self.current_snapshot()
         return self._manifest(snap)["lineage"] if snap else {}
 
+    # ---------------------------------------------------- maintenance ops
+
+    def compact(
+        self, spark: SparkSession, target_file_mb: int = 128
+    ) -> int:
+        """Small-file compaction (Iceberg's ``rewrite_data_files`` analog):
+        an append-per-run table accumulates one file set per commit, and at
+        scale scan cost is dominated by file COUNT (open/footer/seek per
+        file), not bytes. Rewrite the current row set into
+        ~``target_file_mb``-sized files and commit it as an overwrite
+        snapshot — readers switch atomically; history (and time travel to
+        pre-compaction snapshots) is preserved until ``expire_snapshots``.
+        ``coalesce`` (not ``repartition``) — compaction must not pay a
+        shuffle."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        files = self._manifest(cur)["files"]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = self.read(spark).coalesce(n_out)
+        return self.commit(
+            df, mode="overwrite",
+            lineage={**self.lineage(cur), "compacted_from": cur},
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg's ``expire_snapshots`` + ``remove_orphan_files`` pair:
+        drop manifests older than the newest ``keep_last`` snapshots, then
+        delete every data file referenced by NO surviving manifest —
+        including crash-orphaned data dirs that never made it into a
+        manifest. CURRENT is untouched (always among the kept). Incremental
+        reads/time travel older than the horizon stop working, exactly as
+        in Iceberg. Returns {'expired': [...], 'deleted_files': n}."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return {"expired": [], "deleted_files": 0}
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        expired = []
+        referenced: set[str] = set()
+        for path in sorted(glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))):
+            snap_id = int(os.path.basename(path)[5:13])
+            if snap_id in keep:
+                referenced.update(self._manifest(snap_id)["files"])
+            else:
+                os.remove(path)
+                expired.append(snap_id)
+        deleted = _gc_data_dir(os.path.join(self.root, "data"), referenced)
+        return {"expired": expired, "deleted_files": deleted}
+
+
+def _gc_data_dir(data_root: str, referenced: set[str]) -> int:
+    """Delete whole unreferenced commit dirs under ``data_root`` (every
+    commit wrote exactly one ``data/<uuid>`` dir, so orphan granularity is
+    the dir): a dir none of whose part files appear in any surviving
+    manifest — including crash leftovers that never reached a manifest —
+    is dropped with its sidecars. Driver-side metadata-only walk."""
+    import shutil
+
+    deleted = 0
+    for d in glob.glob(os.path.join(data_root, "*")):
+        parts = [
+            p for p in glob.glob(os.path.join(d, "part-*"))
+            if not p.endswith(".crc")
+        ]
+        if parts and any(p in referenced for p in parts):
+            continue
+        deleted += len(parts)
+        shutil.rmtree(d, ignore_errors=True)
+    return deleted
+
 
 def _schema_from_json(schema_json: str):
     from pyspark.sql.types import StructType
@@ -412,3 +483,54 @@ class TableGroup:
     def lineage(self, snapshot: int | None = None) -> dict:
         snap = snapshot if snapshot is not None else self.current_snapshot()
         return self._manifest(snap)["lineage"] if snap else {}
+
+    # ---------------------------------------------------- maintenance ops
+
+    def compact(
+        self,
+        spark: SparkSession,
+        names: list[str] | None = None,
+        target_file_mb: int = 128,
+    ) -> int:
+        """Small-file compaction for append-heavy members (the routed and
+        metrics tables gain one file set per run): rewrite each named
+        member's rows into ~target_file_mb files (coalesce, no shuffle) and
+        publish ONE new group snapshot; untouched members carry forward.
+        See SnapshotTable.compact for the rationale."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        entries = self._manifest(cur)["tables"]
+        names = names if names is not None else list(entries)
+        dfs: dict[str, tuple[DataFrame, str]] = {}
+        for n in names:
+            files = entries[n]["files"]
+            if not files:
+                continue
+            total = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
+            dfs[n] = (self.read_member(spark, n).coalesce(n_out), "overwrite")
+        return self.commit(
+            dfs, lineage={**self.lineage(cur), "compacted_from": cur}
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Expire group manifests older than the newest ``keep_last`` and
+        GC every data dir referenced by no surviving manifest (crash
+        orphans included). See SnapshotTable.expire_snapshots."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return {"expired": [], "deleted_files": 0}
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        expired = []
+        referenced: set[str] = set()
+        for path in sorted(glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))):
+            snap_id = int(os.path.basename(path)[5:13])
+            if snap_id in keep:
+                for entry in self._manifest(snap_id)["tables"].values():
+                    referenced.update(entry["files"])
+            else:
+                os.remove(path)
+                expired.append(snap_id)
+        deleted = _gc_data_dir(os.path.join(self.root, "data"), referenced)
+        return {"expired": expired, "deleted_files": deleted}
