@@ -302,8 +302,13 @@ def reassemble_agg(parsed: DataFrame, checkpoint: DataFrame | None = None) -> Da
     the end, so token bytes are touched exactly once.
 
     Whole plan: scan → parse → one shuffle on (doc_id, session) → hash agg →
-    codegen'd HOF projection. Benchmarks at 2M docs show this strategy is
-    the fastest and scales the best of the three (see BENCH/BASELINE.md).
+    codegen'd HOF projection. Measured (500k-doc synth corpus, local[32],
+    min-of-2 after warm-up): sql 4.6 s, agg 14.3 s, pandas 112 s — the HOF
+    gate's interpreted expression tree loses to the window plan's
+    whole-stage codegen, and ObjectHashAggregate falls back to sort-based
+    past 128 keys per partition. Kept as the third cross-check strategy
+    and as the shape a future codegen'd aggregate could win with;
+    ``reassemble_sql`` is the production default.
     """
     live = _with_last_seq(parsed, checkpoint).where(
         (F.col("seq") > F.col("last_seq"))
