@@ -216,54 +216,48 @@ def lsh_signature(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _banded(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, v, n2, band, bucket) — the index keys with the vector
-    carried alongside for the exact-cosine verify step."""
-    sig = _vecs(embeddings)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                _bucket_col(b).alias("bucket"),
-            )
-            for b in range(N_BANDS)
-        ]
+def _attach_vectors(cand_ids: DataFrame, v: DataFrame) -> DataFrame:
+    """Join the exact-verify vectors back onto an ids-only candidate-pair
+    set, then compute cosine. The banded pair join itself moves ONLY
+    (vec_id, band, bucket) — 24 bytes/row instead of two 512-byte vectors
+    duplicated ×N_BANDS through the explode AND the pair-dedup exchange;
+    vectors are re-joined once per deduped pair against the narrow vecs
+    projection (broadcast when small, co-partitioned shuffle join on
+    vec_id at scale — AQE picks)."""
+    va = v.select(
+        F.col("vec_id").alias("_ida"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
-    return sig.select(
-        "vec_id", "v", "n2", F.explode(bands).alias("bb")
-    ).select("vec_id", "v", "n2", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    vb = v.select(
+        F.col("vec_id").alias("_idb"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    return (
+        cand_ids.join(va, cand_ids["vec_id"] == va["_ida"])
+        .join(vb, cand_ids["nb_id"] == vb["_idb"])
+        .withColumn(
+            "sim",
+            _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")),
+        )
+    )
 
 
 def lsh_candidate_pairs(embeddings: DataFrame, tau: float = LSH_TAU) -> DataFrame:
     """Candidate pairs sharing ≥1 band bucket, then exact-cosine filtered at
     tau. (vec_a, vec_b, n_bands, sim_x1m). The join is a plain equi-join on
-    (band, bucket) — the scale path (no cross join anywhere)."""
-    bk = _banded(embeddings)
-    left = bk.select("vec_id", "v", "n2", "band", "bucket")
-    right = bk.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("v").alias("nb_v"),
-        F.col("n2").alias("nb_n2"),
-        "band",
-        "bucket",
-    )
-    cand = (
-        left.join(right, ["band", "bucket"])
+    (band, bucket) over ids-only keys — the scale path (no cross join
+    anywhere, no vector bytes through the pair shuffle)."""
+    bk = lsh_signature(embeddings)
+    cand_ids = (
+        bk.join(
+            bk.select(
+                F.col("vec_id").alias("nb_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
         .where(F.col("vec_id") < F.col("nb_id"))
         .groupBy("vec_id", "nb_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bands"),
-            F.first("v").alias("v"),
-            F.first("n2").alias("n2"),
-            F.first("nb_v").alias("nb_v"),
-            F.first("nb_n2").alias("nb_n2"),
-        )
-        .withColumn(
-            "sim",
-            _dot(F.col("v"), F.col("nb_v")) / F.sqrt(F.col("n2") * F.col("nb_n2")),
-        )
-        .where(F.col("sim") >= tau)
+        .agg(F.count("*").cast("long").alias("n_bands"))
     )
+    cand = _attach_vectors(cand_ids, _vecs(embeddings)).where(F.col("sim") >= tau)
     return cand.select(
         F.col("vec_id").alias("vec_a"),
         F.col("nb_id").alias("vec_b"),
@@ -280,31 +274,19 @@ def lsh_topk(
     ranked side (its band keys are recomputed — a narrow projection — so
     the candidate join's left input shrinks proportionally).
     (vec_id, rank, neighbor_id)."""
-    bk = _banded(embeddings)
-    left_src = _banded(queries) if queries is not None else bk
-    left = left_src.select("vec_id", "v", "n2", "band", "bucket")
-    right = bk.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("v").alias("nb_v"),
-        F.col("n2").alias("nb_n2"),
-        "band",
-        "bucket",
-    )
-    cand = (
-        left.join(right, ["band", "bucket"])
+    bk = lsh_signature(embeddings)
+    left = lsh_signature(queries) if queries is not None else bk
+    cand_ids = (
+        left.join(
+            bk.select(F.col("vec_id").alias("nb_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
         .where(F.col("vec_id") != F.col("nb_id"))
         .groupBy("vec_id", "nb_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("n2").alias("n2"),
-            F.first("nb_v").alias("nb_v"),
-            F.first("nb_n2").alias("nb_n2"),
-        )
-        .withColumn(
-            "sim",
-            _dot(F.col("v"), F.col("nb_v")) / F.sqrt(F.col("n2") * F.col("nb_n2")),
-        )
+        .agg(F.count("*").alias("_nb"))
+        .drop("_nb")
     )
+    cand = _attach_vectors(cand_ids, _vecs(embeddings))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("nb_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
