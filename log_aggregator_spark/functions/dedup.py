@@ -346,6 +346,25 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+        # graph contraction: relabel both endpoints by their current
+        # labels and drop self/duplicate edges. On dense near-dup graphs
+        # (the common case — dup clusters are near-cliques) the edge set
+        # collapses geometrically after the first round, so later
+        # iterations join thousands of edges instead of millions.
+        edges = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), F.col("label").alias("_ls")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("_ld")),
+                "dst",
+            )
+            .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
     else:  # pragma: no cover - unreachable below 2^64 nodes
         raise RuntimeError("components did not converge within 64 rounds")
     return labels.select(
