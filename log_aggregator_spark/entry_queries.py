@@ -18,7 +18,7 @@ from .functions import events as fev
 from .functions import multimodal as fmm
 from .functions import similarity as fsim
 from .functions import text as ftext
-from .operators.parse import parse_envelope
+from .operators.parse import parse_envelope, split_rejects
 from .operators.reassemble import held_back, held_back_full, reassemble_sql
 from .plans.pipeline import run_pipeline
 
@@ -101,6 +101,28 @@ def q_pipeline_checkpoint_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline(spark, sf_dir).checkpoint_out.select(
         "doc_id", "session", F.col("last_seq").cast("long").alias("last_seq")
     )
+
+
+def q_pipeline_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter path under the hash gate: union the real chunk corpus
+    with deterministically-synthesized CORRUPT envelopes (every 10th doc
+    contributes one 'garbage-<id>' row); the reject stream must contain
+    exactly the corrupt set — which simultaneously proves every legitimate
+    chunk parses (a real chunk leaking into rejects breaks the row count,
+    a corrupt row leaking into the ok stream breaks it too)."""
+    docs = chunker.load_documents(spark, sf_dir)
+    chunks = chunker.chunks(docs)
+    corrupt = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.concat(F.lit("garbage-"), F.col("doc_id").cast("string")).alias("envelope"),
+            F.array().cast("array<int>").alias("chunk_tokens"),
+            "source",
+        )
+    )
+    _ok, rejects = split_rejects(chunks.unionByName(corrupt))
+    return rejects
 
 
 def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +336,7 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_held_back": q_pipeline_held_back,
     "pipeline_checkpoint_out": q_pipeline_checkpoint_out,
     "pipeline_resume": q_pipeline_resume,
+    "pipeline_rejects": q_pipeline_rejects,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

@@ -82,6 +82,40 @@ def parse_envelope(chunks: DataFrame, jvm: bool = False) -> DataFrame:
     return parsed
 
 
+def split_rejects(chunks: DataFrame, jvm: bool = False) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (parsed_ok, rejects). An envelope that fails the
+    regex parses to null fields; at 100 TB silently dropping (or crashing
+    on) malformed input is not an option — the reject stream keeps the
+    original envelope + source for quarantine/audit, the ok stream carries
+    parsed keys only. One pass over the parse output, no second regex
+    evaluation (the reference logs-and-skips unparseable cached files; here
+    the skipped set is first-class data)."""
+    if jvm:
+        tagged = chunks.withColumn(
+            "_p",
+            F.struct(
+                F.nullif(
+                    F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 1), F.lit("")
+                ).alias("doc_id"),
+                F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 2)
+                .cast("long").alias("session"),
+                F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 3)
+                .cast("long").alias("seq"),
+            ),
+        )
+    else:
+        tagged = chunks.withColumn("_p", _parse_envelope_udf(F.col("envelope")))
+    ok = tagged.where(F.col("_p.doc_id").isNotNull()).select(
+        F.col("_p.doc_id").alias("doc_id"),
+        F.col("_p.session").alias("session"),
+        F.col("_p.seq").alias("seq"),
+        "chunk_tokens",
+        "source",
+    )
+    rejects = tagged.where(F.col("_p.doc_id").isNull()).select("envelope", "source")
+    return ok, rejects
+
+
 def encode_envelope(df: DataFrame) -> DataFrame:
     """Inverse of parse — the filename-encode operator (SURVEY.md §2 S4;
     /root/reference/agent/.../DataPumpImpl.java:87-89)."""

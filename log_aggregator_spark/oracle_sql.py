@@ -24,7 +24,7 @@ C = spec.CHUNK
 SB = spec.SESSION_BASE
 SS = spec.SESSION_STEP
 
-_ENV_RE = r"(.*)_(\d+)_(\d+)\.pbData"
+_ENV_RE = r"(.*)_(\d+)_(\d+)\.pbData$"  # end-anchored, mirrors spec.ENVELOPE_REGEX
 
 # ---------------------------------------------------------------- prelude
 # Mirrors chunker.chunks(perturb=True) + checkpoint_table + routes_table +
@@ -159,6 +159,14 @@ SELECT doc_id, session, seq FROM flagged WHERE NOT accepted
 SELECT doc_id, session, last_seq_out AS last_seq FROM reassembled
 """,
 }
+
+# Dead-letter: the Spark side unions real chunks with synthesized corrupt
+# envelopes and must reject EXACTLY the corrupt set (mirrors
+# entry_queries.q_pipeline_rejects).
+PIPELINE_SQL["pipeline_rejects"] = """
+SELECT 'garbage-' || CAST(doc_id AS VARCHAR) AS envelope, source
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 # Run-splitting invariance: the Spark side computes TWO checkpointed passes
 # and concatenates; the oracle is the ordinary SINGLE-pass reassembly — the

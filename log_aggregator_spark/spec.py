@@ -50,7 +50,10 @@ N_PRIORITIES = 3
 # {id}_{session}_{seq}.pbData and its parse regex
 # (/root/reference/datadecoder/.../PBLogFile.java:17-27).
 ENVELOPE_FMT = "%s_%d_%d.pbData"
-ENVELOPE_REGEX = r"(.*)_(\d+)_(\d+)\.pbData"
+# end-anchored: the reference full-matches (Matcher.matches()), while
+# regexp_extract (Spark AND DuckDB) substring-matches — without the $ a
+# 'x_1_2.pbData.bak' envelope would silently parse
+ENVELOPE_REGEX = r"(.*)_(\d+)_(\d+)\.pbData$"
 
 DOC_ID_FMT = "doc%08d"
 

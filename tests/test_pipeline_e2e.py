@@ -180,3 +180,27 @@ def test_resume_second_run_emits_suffix(spark, docs):
         got[["doc_id", "session", "tokens", "n_tok", "last_seq_out"]],
         want[["doc_id", "session", "tokens", "n_tok", "last_seq_out"]],
     )
+
+
+def test_split_rejects_both_variants_agree(spark):
+    """Dead-letter split: the Arrow-RE2 and JVM-regexp variants must make
+    identical accept/reject decisions, legit chunks never reject, corrupt
+    envelopes never leak into the ok stream."""
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark.operators.parse import split_rejects
+
+    docs = chunker.load_documents(spark, SF_DIR).limit(20)
+    chunks = chunker.chunks(docs)
+    corrupt = spark.createDataFrame(
+        [("garbage-1", [0], "srcX"), ("doc_1_nosuffix", [1], "srcY"),
+         ("a_2_3.pbData.bak", [2], "srcZ")],
+        schema="envelope string, chunk_tokens array<int>, source string",
+    )
+    unioned = chunks.unionByName(corrupt)
+    n_chunks = chunks.count()
+    for jvm in (False, True):
+        ok, rejects = split_rejects(unioned, jvm=jvm)
+        assert ok.count() == n_chunks
+        got = sorted(r["envelope"] for r in rejects.collect())
+        assert got == ["a_2_3.pbData.bak", "doc_1_nosuffix", "garbage-1"]
