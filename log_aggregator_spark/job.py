@@ -69,6 +69,7 @@ class JobState:
         self.checkpoint = self.group.table("checkpoint")
         self.held = self.group.table("held")
         self.metrics = self.group.table("metrics")
+        self.quarantine = self.group.table("quarantine")
         self.staging_root = f"{state_dir}/staging"
 
 
@@ -77,8 +78,17 @@ def run_job(
     chunks_table: SnapshotTable,
     routes,
     state: JobState,
+    held_max_age_runs: int | None = None,
 ) -> dict:
-    """One resumable pass. Returns a run summary dict."""
+    """One resumable pass. Returns a run summary dict.
+
+    ``held_max_age_runs``: bound on the held cache. The reference's cache
+    literally "grows" without bound when a gap is never filled
+    (``datadecoder/README.md:13-15``); here each held chunk carries the
+    run that first held it, and chunks older than N runs move to the
+    ``quarantine`` member table (visible for audit/backfill) instead of
+    being re-gated forever — the batch counterpart of the streaming state
+    TTL. None (default) = keep forever (reference-faithful)."""
     t_start = time.perf_counter()
     last_processed = None
     ckpt_df = None
@@ -96,8 +106,12 @@ def run_job(
     parsed_parts = []
     if new_chunks is not None:
         parsed_parts.append(parse_envelope(new_chunks))
+    prev_held = None
     if state.held.exists():
-        parsed_parts.append(state.held.read(spark))
+        prev_held = state.held.read(spark)
+        parsed_parts.append(
+            prev_held.select("doc_id", "session", "seq", "chunk_tokens", "source")
+        )
     parsed = parsed_parts[0]
     for p in parsed_parts[1:]:
         parsed = parsed.unionByName(p)
@@ -119,7 +133,33 @@ def run_job(
     enriched = enrich(reassembled, routes).withColumn(
         "run_id", F.lit(run_id).cast("long")
     )
+
+    # held cache with age tracking: a chunk held before keeps its original
+    # first_held_run; a newly-held one is stamped with this run.
     held_full = held_from_flags(flagged)
+    if prev_held is not None and "first_held_run" in prev_held.columns:
+        held_full = held_full.join(
+            F.broadcast(
+                prev_held.select("doc_id", "session", "seq", "first_held_run")
+            ),
+            ["doc_id", "session", "seq"],
+            "left",
+        )
+        held_full = held_full.withColumn(
+            "first_held_run",
+            F.coalesce(F.col("first_held_run"), F.lit(run_id)).cast("long"),
+        )
+    else:
+        held_full = held_full.withColumn(
+            "first_held_run", F.lit(run_id).cast("long")
+        )
+    quarantined = None
+    if held_max_age_runs is not None:
+        too_old = F.col("first_held_run") <= F.lit(run_id - held_max_age_runs)
+        quarantined = held_full.where(too_old).withColumn(
+            "quarantined_run", F.lit(run_id).cast("long")
+        )
+        held_full = held_full.where(~too_old)
 
     # checkpoint merge: streams that emitted this run advance; the rest keep
     # their old state. Broadcast-friendly (one row per live stream).
@@ -136,14 +176,17 @@ def run_job(
     wall = time.perf_counter() - t_start
     summary_df = lin.withColumn("run_id", F.lit(run_id).cast("long"))
 
-    # ---- ONE atomic commit covering all four state tables ----------------
+    # ---- ONE atomic commit covering all state tables ---------------------
+    tables = {
+        "routed": (enriched, "append"),
+        "checkpoint": (new_ckpt, "overwrite"),
+        "held": (held_full, "overwrite"),
+        "metrics": (summary_df, "append"),
+    }
+    if quarantined is not None:
+        tables["quarantine"] = (quarantined, "append")
     state.group.commit(
-        {
-            "routed": (enriched, "append"),
-            "checkpoint": (new_ckpt, "overwrite"),
-            "held": (held_full, "overwrite"),
-            "metrics": (summary_df, "append"),
-        },
+        tables,
         lineage={
             "chunks_snapshot": current_snap,
             "run_id": run_id,

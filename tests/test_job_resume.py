@@ -335,6 +335,53 @@ def test_session_restart_across_runs(spark, tmp_path):
     assert state.held.read(spark).count() == 0
 
 
+def test_held_cache_ages_out_to_quarantine(spark, tmp_path):
+    """A permanently-gapped stream must not grow the held cache forever
+    (the reference's 'cache grows' failure mode): with held_max_age_runs=2
+    the blocked suffix is re-gated for two runs, then moves to the
+    quarantine table and stops being carried."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 3,
+            "session": [10] * 3,
+            "seq": [1, 2, 5],  # 5 is forever blocked (3, 4 never arrive)
+            "chunk_tokens": [[1], [2], [5]],
+            "source": ["src1"] * 3,
+        }
+    )
+    full = spark.createDataFrame(
+        pdf, schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string"
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+
+    ct.commit(encode_envelope(full).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state, held_max_age_runs=2)  # run 1: held, age 1
+    assert state.held.read(spark).count() == 1
+    assert state.quarantine.read(spark).count() == 0  # member exists, empty
+
+    # two more passes with fresh (unrelated) data to advance run_id
+    for i in (2, 3):
+        ct.commit(encode_envelope(
+            spark.createDataFrame(
+                [(f"x{i}", 10, 1, [i], "src1")],
+                schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+            )
+        ).select("envelope", "chunk_tokens", "source"))
+        run_job(spark, ct, routes, state, held_max_age_runs=2)
+
+    # run 3: first_held_run=1 <= 3-2 → quarantined, held cache empty
+    assert state.held.read(spark).count() == 0
+    q = state.quarantine.read(spark).collect()
+    assert len(q) == 1 and q[0]["seq"] == 5 and q[0]["first_held_run"] == 1
+    # and the stream's accepted prefix was emitted exactly once in run 1
+    routed = state.routed.read(spark)
+    assert routed.where("doc_id = 'd'").count() == 1
+
+
 def test_iceberg_backend_capability_gate(spark):
     """The IcebergTable switch is real code behind a capability check: in
     this jar-less sandbox `available()` is False and construction raises
