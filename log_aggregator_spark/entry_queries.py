@@ -304,6 +304,10 @@ def q_ev_windowed_topk(spark, sf_dir):
     return fev.windowed_topk_types(_events(spark, sf_dir))
 
 
+def q_ev_spikes(spark, sf_dir):
+    return fev.hourly_spikes(_events(spark, sf_dir))
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -367,6 +371,7 @@ QUERIES: dict[str, QueryFn] = {
     "ev_props_extract": q_ev_props_extract,
     "ev_percentiles": q_ev_percentiles,
     "ev_windowed_topk": q_ev_windowed_topk,
+    "ev_spikes": q_ev_spikes,
     "text_ngram_counts": q_text_ngram_counts,
     "mm_format_stats": q_mm_format_stats,
 }

@@ -166,6 +166,38 @@ def windowed_topk_types(events: DataFrame, k: int = WINDOWED_TOPK) -> DataFrame:
     )
 
 
+def hourly_spikes(events: DataFrame, factor: int = 2) -> DataFrame:
+    """Volume-anomaly detection: flag (event_type, hour) buckets whose
+    count exceeds ``factor``× the type's average hourly volume. The
+    comparison is pure integer cross-multiplication
+    (n_events · n_hours > factor · total_events) — no float mean, exact in
+    every engine. Two aggregations over the same (type, hour) grouping:
+    partial-agg counts, then a broadcast-size per-type totals join.
+    (event_type, hour_epoch, n_events, is_spike)."""
+    hourly = events.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("total_events"),
+        F.count("*").alias("n_hours"),
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n_events",
+            (
+                F.col("n_events") * F.col("n_hours")
+                > F.lit(factor) * F.col("total_events")
+            )
+            .cast("long")
+            .alias("is_spike"),
+        )
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

@@ -715,6 +715,23 @@ SELECT event_type,
 FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
 GROUP BY event_type
 """,
+    # pure integer cross-multiplication: n·n_hours > factor·total
+    "ev_spikes": """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour_epoch, h.n_events,
+       CAST(h.n_events * t.n_hours > 2 * t.total_events AS BIGINT) AS is_spike
+FROM hourly h JOIN totals t USING (event_type)
+""",
     "ev_windowed_topk": """
 SELECT hour_epoch, CAST(rank AS BIGINT) AS rank, event_type, n_events
 FROM (
