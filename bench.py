@@ -227,7 +227,11 @@ def main_default(args) -> None:
             with open(rounds[-1]) as f:
                 prev = json.load(f)
             # the driver wraps bench.py's JSON line under "parsed"
-            prev_queries = prev.get("queries") or prev.get("parsed", {}).get("queries", {})
+            prev_queries = (
+                prev.get("queries")
+                or (prev.get("parsed") or {}).get("queries")
+                or {}
+            )
         except (OSError, json.JSONDecodeError):
             prev_queries = {}
     delta_pct = {
@@ -256,7 +260,27 @@ def main_default(args) -> None:
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(result, f)
-    print(json.dumps(result))
+    # The driver captures only the LAST 2000 chars of stdout and json-parses
+    # that window; round 2's line outgrew it (delta_pct_vs_prev pushed it
+    # past 2000 → BENCH_r02.json parsed=null). Print a compact line that is
+    # guaranteed to fit and park the full record (deltas, run list) in
+    # BENCH_LOCAL.json for the round-over-round record.
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": "pipeline_e2e_sec",
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {q: round(t, 2) for q, t in queries.items()},
+        "sf": sf,
+        "streams": e2e["streams"],
+        "seq_per_sec": result["seq_per_sec"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # belt-and-braces: drop per-query detail, keep headline
+        compact["queries"] = {"pipeline_e2e": result["value"]}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

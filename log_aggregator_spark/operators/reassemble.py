@@ -203,14 +203,19 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     anchor_rank``; the first gap breaks the constant. Duplicate rows are
     dropped by keeping only the first occurrence per seq (``lag(seq) !=
     seq`` — the reference detects exactly this on insert,
-    PBLogFileCollector.java:67-70); the window's secondary sort on
-    ``chunk_tokens`` makes "first" the lexicographically-least payload —
-    the engine's deterministic survivor rule (see ``gate_select``). A
-    seq==0 chunk with last_seq==0 is emitted but does NOT anchor the run:
-    the reference writes last=0 after it, so the init rule re-fires for
-    the next chunk (DataPumpDecoderSort.java:166-174).
+    PBLogFileCollector.java:67-70). The survivor row's payload is then
+    replaced by the peer-group minimum (``min(chunk_tokens) RANGE BETWEEN
+    CURRENT ROW AND CURRENT ROW`` — the frame is exactly the equal-seq
+    rows), so the emitted payload is the lexicographically-least among
+    equal seqs — the engine's deterministic survivor rule (see
+    ``gate_select``) — WITHOUT putting the token array into the sort key:
+    a single long sort key keeps SortExec on the radix path, and the
+    array comparator runs only inside the (corruption-rare) multi-row
+    peer frames. A seq==0 chunk with last_seq==0 is emitted but does NOT
+    anchor the run: the reference writes last=0 after it, so the init
+    rule re-fires for the next chunk (DataPumpDecoderSort.java:166-174).
     """
-    w = Window.partitionBy("doc_id", "session").orderBy("seq", "chunk_tokens")
+    w = Window.partitionBy("doc_id", "session").orderBy("seq")
     # Running frame (unbounded preceding → current row): with rows sorted by
     # seq, the stream anchor (first positive live seq) and the zero-chunk
     # flag (zero sorts first) are RUNNING aggregates — same (partition,
@@ -218,6 +223,12 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     # WindowExec pass with a streaming frame (no whole-partition buffering,
     # no second Window materialization of 10^12 rows).
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # peer frame: all rows sharing the current row's seq (RANGE with both
+    # bounds at CURRENT ROW = the SQL-standard peer group) — used to pick
+    # the deterministic survivor payload among duplicate seqs. Same
+    # (partition, order) spec as every other frame here → same WindowExec,
+    # no extra exchange or sort.
+    w_peer = w.rangeBetween(Window.currentRow, Window.currentRow)
     live = _with_last_seq(parsed, checkpoint).where(
         (F.col("seq") > F.col("last_seq"))
         | ((F.col("seq") == 0) & (F.col("last_seq") == 0))
@@ -227,6 +238,10 @@ def _gate_flags(parsed: DataFrame, checkpoint: DataFrame | None) -> DataFrame:
     anchor_rank = F.lit(1) + F.max(F.when(zero, 1).otherwise(0)).over(w_run)
     return (
         live.withColumn("_first", F.lag("seq").over(w).isNull() | (F.lag("seq").over(w) != F.col("seq")))
+        # deterministic survivor payload: least among equal seqs (peer
+        # frames are size 1 except for duplicate seqs, so the array
+        # comparator is off the hot path)
+        .withColumn("chunk_tokens", F.min("chunk_tokens").over(w_peer))
         # running count of first-occurrences == dense rank of seq among
         # distinct seqs; computed as a second window expr over the SAME
         # (partition, order) spec, so no extra exchange or sort — the input
