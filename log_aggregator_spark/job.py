@@ -41,6 +41,7 @@ invariant of the reference's end-to-end test, ``README.md:93-104``).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 import uuid
 
@@ -58,6 +59,29 @@ from .operators.reassemble import (
 from .tableio import SnapshotTable, TableGroup
 
 
+_STAGING_STALE_SEC = 24 * 3600
+
+
+def _sweep_stale_staging(staging_root: str) -> None:
+    """Reclaim staging dirs a crashed pass left behind. Age-guarded (like
+    Iceberg's remove_orphan_files): a dir younger than the threshold may
+    belong to a live concurrent pass, so only clearly-abandoned ones go."""
+    import shutil
+
+    try:
+        entries = os.listdir(staging_root)
+    except FileNotFoundError:
+        return
+    cutoff = time.time() - _STAGING_STALE_SEC
+    for name in entries:
+        path = os.path.join(staging_root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 class JobState:
     """The state a deployment owns, rooted at ``state_dir``: one TableGroup
     holding routed/checkpoint/held/metrics (committed atomically together)
@@ -70,6 +94,7 @@ class JobState:
         self.held = self.group.table("held")
         self.metrics = self.group.table("metrics")
         self.quarantine = self.group.table("quarantine")
+        self.rejects = self.group.table("rejects")
         self.staging_root = f"{state_dir}/staging"
 
 
@@ -101,11 +126,17 @@ def run_job(
     if new_chunks is None and not state.held.exists():
         return {"run_id": None, "status": "no_new_data"}
 
-    from .operators.parse import parse_envelope
+    from .operators.parse import split_rejects
 
     parsed_parts = []
+    rejects = None
     if new_chunks is not None:
-        parsed_parts.append(parse_envelope(new_chunks))
+        # dead-letter split: a malformed envelope parses to null fields and
+        # the gate's null-evaluating predicates would silently drop it —
+        # the reject stream makes corrupt input first-class data instead
+        # (the reference logs-and-skips; parse.py:85-).
+        ok, rejects = split_rejects(new_chunks)
+        parsed_parts.append(ok)
     prev_held = None
     if state.held.exists():
         prev_held = state.held.read(spark)
@@ -123,8 +154,14 @@ def run_job(
     )
 
     run_id = current_snap or 0
+    # age unit for the held cache: the group's own pass counter (one commit
+    # per pass ⇒ +1 per run_job), NOT the chunks snapshot id — multiple
+    # chunk-table commits between passes would otherwise age a held chunk
+    # several "runs" in one pass (ADVICE r2).
+    pass_id = (state.group.current_snapshot() or 0) + 1
 
     # ---- the ONE computation: gate decision, materialized ----------------
+    _sweep_stale_staging(state.staging_root)
     staging = f"{state.staging_root}/{uuid.uuid4().hex}"
     _gate_flags(parsed, ckpt_df).write.mode("overwrite").parquet(staging)
     flagged = spark.read.parquet(staging)
@@ -135,29 +172,32 @@ def run_job(
     )
 
     # held cache with age tracking: a chunk held before keeps its original
-    # first_held_run; a newly-held one is stamped with this run.
+    # first_held_run (in group-pass units); a newly-held one is stamped with
+    # this pass. Broadcast the carry-forward join only when the cache is
+    # BOUNDED (held_max_age_runs set): with the unbounded default the held
+    # table is exactly the one documented as growing without limit, and
+    # force-broadcasting it risks driver OOM at scale — let AQE choose.
     held_full = held_from_flags(flagged)
     if prev_held is not None and "first_held_run" in prev_held.columns:
+        prev_ages = prev_held.select("doc_id", "session", "seq", "first_held_run")
+        if held_max_age_runs is not None:
+            prev_ages = F.broadcast(prev_ages)
         held_full = held_full.join(
-            F.broadcast(
-                prev_held.select("doc_id", "session", "seq", "first_held_run")
-            ),
-            ["doc_id", "session", "seq"],
-            "left",
+            prev_ages, ["doc_id", "session", "seq"], "left"
         )
         held_full = held_full.withColumn(
             "first_held_run",
-            F.coalesce(F.col("first_held_run"), F.lit(run_id)).cast("long"),
+            F.coalesce(F.col("first_held_run"), F.lit(pass_id)).cast("long"),
         )
     else:
         held_full = held_full.withColumn(
-            "first_held_run", F.lit(run_id).cast("long")
+            "first_held_run", F.lit(pass_id).cast("long")
         )
     quarantined = None
     if held_max_age_runs is not None:
-        too_old = F.col("first_held_run") <= F.lit(run_id - held_max_age_runs)
+        too_old = F.col("first_held_run") <= F.lit(pass_id - held_max_age_runs)
         quarantined = held_full.where(too_old).withColumn(
-            "quarantined_run", F.lit(run_id).cast("long")
+            "quarantined_run", F.lit(pass_id).cast("long")
         )
         held_full = held_full.where(~too_old)
 
@@ -183,20 +223,36 @@ def run_job(
         "held": (held_full, "overwrite"),
         "metrics": (summary_df, "append"),
     }
+    if rejects is not None:
+        tables["rejects"] = (
+            rejects.withColumn("run_id", F.lit(run_id).cast("long")),
+            "append",
+        )
     if quarantined is not None:
         tables["quarantine"] = (quarantined, "append")
-    state.group.commit(
-        tables,
-        lineage={
-            "chunks_snapshot": current_snap,
-            "run_id": run_id,
-            "wall_sec": wall,
-        },
-    )
+    try:
+        state.group.commit(
+            tables,
+            lineage={
+                "chunks_snapshot": current_snap,
+                "run_id": run_id,
+                "pass_id": pass_id,
+                "wall_sec": wall,
+            },
+        )
+        counts = {
+            r["sink"]: r["n_rows"] for r in sink_counts(enriched).collect()
+        }
+    finally:
+        # the staging snapshot is pass-local scratch: committed data was
+        # rewritten into the group's data dirs, and a failed/aborted commit
+        # abandons the pass — either way the dir is garbage once every
+        # plan rooted on it has executed (ADVICE r2: staging sits outside
+        # the group root, so orphan GC never reclaims it).
+        import shutil
 
-    counts = {
-        r["sink"]: r["n_rows"] for r in sink_counts(enriched).collect()
-    }
+        shutil.rmtree(staging, ignore_errors=True)
+
     return {
         "run_id": run_id,
         "status": "ok",

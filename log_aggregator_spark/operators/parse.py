@@ -91,11 +91,17 @@ def split_rejects(chunks: DataFrame, jvm: bool = False) -> tuple[DataFrame, Data
     evaluation (the reference logs-and-skips unparseable cached files; here
     the skipped set is first-class data)."""
     if jvm:
+        # Non-match detection keys on the seq group: ``(\d+)`` cannot match
+        # empty, so ``regexp_extract(...) == ''`` ⇔ the envelope failed the
+        # pattern. (doc_id's ``(.*)`` group legitimately matches empty —
+        # '_3_7.pbData' is a valid envelope with doc_id '' — so nullif on
+        # group 1 would reject it here while the Arrow path accepts it.)
+        matched = F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 3) != F.lit("")
         tagged = chunks.withColumn(
             "_p",
             F.struct(
-                F.nullif(
-                    F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 1), F.lit("")
+                F.when(
+                    matched, F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 1)
                 ).alias("doc_id"),
                 F.regexp_extract("envelope", spec.ENVELOPE_REGEX, 2)
                 .cast("long").alias("session"),

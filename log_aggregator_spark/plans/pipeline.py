@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 
 from ..operators.aggregate import sink_counts
 from ..operators.enrich import enrich
-from ..operators.parse import parse_envelope
+from ..operators.parse import split_rejects
 from ..operators.reassemble import held_back, reassemble, reassemble_agg, reassemble_sql
 from ..operators.route import route_write
 
@@ -36,6 +36,7 @@ class PipelineResult:
     counts: DataFrame       # per-sink aggregates
     checkpoint_out: DataFrame  # (doc_id, session, last_seq) for the next run
     held: DataFrame         # chunks not consumed this run
+    rejects: DataFrame      # dead-letter: envelopes that failed the parse
 
 
 def run_pipeline(
@@ -46,8 +47,13 @@ def run_pipeline(
     out_dir: str | None = None,
 ) -> PipelineResult:
     """strategy: 'sql' (pure built-in window/agg plan, default) or 'pandas'
-    (applyInPandas kernel) — identical semantics, see reassemble.py."""
-    parsed = parse_envelope(chunks)
+    (applyInPandas kernel) — identical semantics, see reassemble.py.
+
+    Malformed envelopes go to ``result.rejects`` (dead-letter), never into
+    the gate: a null doc_id/seq row would silently evaluate false in the
+    gate predicates and vanish — at 100 TB, silent drop of corrupt input is
+    the one failure mode a pipeline cannot have."""
+    parsed, rejects = split_rejects(chunks)
     if strategy == "pandas":
         reassembled = reassemble(parsed, checkpoint)
     elif strategy == "sql":
@@ -73,4 +79,5 @@ def run_pipeline(
         counts=counts,
         checkpoint_out=ckpt_out,
         held=held,
+        rejects=rejects,
     )

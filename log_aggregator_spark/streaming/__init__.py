@@ -3,4 +3,4 @@ from .stream_events import (  # noqa: F401
     stream_sessionize,
     stream_tumbling_counts,
 )
-from .stream_pipeline import stream_reassemble  # noqa: F401
+from .stream_pipeline import stream_reassemble, stream_rejects  # noqa: F401

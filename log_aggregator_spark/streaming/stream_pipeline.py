@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.parse import parse_envelope
+from ..operators.parse import split_rejects
 from ..operators.reassemble import gate_select, payload_ranks
 
 CHUNK_SCHEMA = StructType(
@@ -179,7 +179,11 @@ def stream_reassemble(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     chunks = reader.parquet(chunks_dir)
 
-    parsed = parse_envelope(chunks)
+    # dead-letter split: a malformed envelope would reach the stateful gate
+    # as a null-keyed group and crash the kernel (int(None)); the batch path
+    # quarantines these, the stream must too (see stream_rejects for the
+    # companion dead-letter query).
+    parsed, _rejects = split_rejects(chunks)
     segments = (
         parsed.groupBy("doc_id", "session")
         .applyInPandasWithState(
@@ -199,3 +203,21 @@ def stream_reassemble(
             F.broadcast(routes.select("source", "sink", "priority")), "source"
         )
     return segments
+
+
+def stream_rejects(
+    spark: SparkSession,
+    chunks_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The dead-letter stream: envelopes failing the parse regex, with their
+    original envelope + source preserved for audit/backfill. Run as a
+    SEPARATE query over the same file source (each query tracks its own
+    progress through its own checkpointLocation — the standard Structured
+    Streaming fan-out form; a single query can only have one sink)."""
+    reader = spark.readStream.schema(CHUNK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    chunks = reader.parquet(chunks_dir)
+    _ok, rejects = split_rejects(chunks)
+    return rejects

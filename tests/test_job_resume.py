@@ -382,6 +382,72 @@ def test_held_cache_ages_out_to_quarantine(spark, tmp_path):
     assert routed.where("doc_id = 'd'").count() == 1
 
 
+def test_job_routes_malformed_envelopes_to_rejects(spark, tmp_path):
+    """Dead-letter wiring in the PRODUCTION path (VERDICT r2 #1): a corrupt
+    envelope fed through run_job must land in the rejects member of the
+    same atomic commit — never silently vanish into the gate's null
+    predicates — and must not perturb routed output or the checkpoint."""
+    good = spark.createDataFrame(
+        [("d", 10, 1, [1], "src1"), ("d", 10, 2, [2], "src1")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    chunks = encode_envelope(good).select("envelope", "chunk_tokens", "source")
+    corrupt = spark.createDataFrame(
+        [("totally-garbage", [7], "src1"), ("d_1_2.pbData.bak", [8], "src1")],
+        schema="envelope string, chunk_tokens array<int>, source string",
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+    ct.commit(chunks.unionByName(corrupt))
+    summary = run_job(spark, ct, routes, state)
+    assert summary["status"] == "ok"
+
+    rej = state.rejects.read(spark).collect()
+    assert sorted(r["envelope"] for r in rej) == [
+        "d_1_2.pbData.bak", "totally-garbage",
+    ]
+    assert all(r["run_id"] == summary["run_id"] for r in rej)
+    # routed output and checkpoint: exactly the good stream, token-exact
+    routed = state.routed.read(spark).collect()
+    assert len(routed) == 1 and list(routed[0]["tokens"]) == [1, 2]
+    ck = state.checkpoint.read(spark).collect()
+    assert len(ck) == 1 and ck[0]["last_seq"] == 2
+
+    # a second pass with only-good data APPENDS nothing to rejects
+    ct.commit(encode_envelope(spark.createDataFrame(
+        [("d", 10, 3, [3], "src1")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state)
+    assert state.rejects.read(spark).count() == 2
+
+
+def test_job_staging_dir_cleaned_after_commit(spark, tmp_path):
+    """ADVICE r2: each pass's materialized gate staging dir must be deleted
+    once the commit (and post-commit reads) are done — unbounded disk
+    growth otherwise."""
+    import os
+
+    good = spark.createDataFrame(
+        [("d", 10, 1, [1], "src1")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+    ct.commit(encode_envelope(good).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state)
+    leftovers = (
+        os.listdir(state.staging_root) if os.path.exists(state.staging_root) else []
+    )
+    assert leftovers == []
+
+
 def test_iceberg_backend_capability_gate(spark):
     """The IcebergTable switch is real code behind a capability check: in
     this jar-less sandbox `available()` is False and construction raises

@@ -197,10 +197,18 @@ def test_split_rejects_both_variants_agree(spark):
          ("a_2_3.pbData.bak", [2], "srcZ")],
         schema="envelope string, chunk_tokens array<int>, source string",
     )
-    unioned = chunks.unionByName(corrupt)
+    # valid envelope whose doc_id group legitimately matches EMPTY — both
+    # variants must accept it (the JVM path once keyed non-match detection
+    # on the doc_id group and rejected this shape; ADVICE r2)
+    empty_doc = spark.createDataFrame(
+        [("_3_7.pbData", [9], "srcE")],
+        schema="envelope string, chunk_tokens array<int>, source string",
+    )
+    unioned = chunks.unionByName(corrupt).unionByName(empty_doc)
     n_chunks = chunks.count()
     for jvm in (False, True):
         ok, rejects = split_rejects(unioned, jvm=jvm)
-        assert ok.count() == n_chunks
+        assert ok.count() == n_chunks + 1
+        assert ok.where(F.col("doc_id") == "").count() == 1
         got = sorted(r["envelope"] for r in rejects.collect())
         assert got == ["a_2_3.pbData.bak", "doc_1_nosuffix", "garbage-1"]

@@ -170,6 +170,109 @@ def test_streaming_kill_restart_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_rejects_dead_letter(spark, tmp_path):
+    """Malformed envelopes in the stream: the gate query must not crash or
+    silently drop them — good segments still emit, and the companion
+    dead-letter query (stream_rejects) catches the corrupt envelopes with
+    payload context preserved."""
+    from log_aggregator_spark.streaming import stream_rejects
+
+    good = spark.createDataFrame(
+        [("d", 10, 1, [1], "s"), ("d", 10, 2, [2], "s")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    corrupt = spark.createDataFrame(
+        [("not-an-envelope", [9], "sX"), ("d_1_2.pbData.bak", [8], "sY")],
+        schema="envelope string, chunk_tokens array<int>, source string",
+    )
+    cdir = str(tmp_path / "chunks")
+    _write_batch(
+        encode_envelope(good).select("envelope", "chunk_tokens", "source")
+        .unionByName(corrupt),
+        cdir,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, cdir, ckpt, out)
+    seg = _segments(spark, out)
+    assert [list(t) for t in seg["tokens"]] == [[1, 2]]
+
+    rej_out, rej_ckpt = str(tmp_path / "rej_out"), str(tmp_path / "rej_ckpt")
+    q = (
+        stream_rejects(spark, cdir)
+        .writeStream.format("parquet")
+        .option("path", rej_out)
+        .option("checkpointLocation", rej_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rej = spark.read.schema("envelope string, source string").parquet(rej_out)
+    assert sorted(r["envelope"] for r in rej.collect()) == [
+        "d_1_2.pbData.bak", "not-an-envelope",
+    ]
+
+
+def test_streaming_ttl_evicts_under_processing_time_trigger(spark, tmp_path):
+    """Integration twin of the kernel TTL test (VERDICT r2 #6), under the
+    TTL's SUPPORTED trigger (processingTime — AvailableNow never drains
+    with ProcessingTimeTimeout on Spark 4.1): an abandoned stream's state
+    (gate position + held buffer) is evicted after the timeout, and the
+    revived stream re-anchors via the init rule. Discriminator: after
+    emitting [1] and holding 5, a later seq-7 chunk emits [7] ONLY if the
+    state was dropped (a surviving last_seq=1 would hold 7 behind the
+    2..4 gap forever)."""
+    import time as _t
+
+    rows = spark.createDataFrame(
+        [("d", 10, 1, [1], "s"), ("d", 10, 5, [5], "s")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    cdir, out, ckpt = (str(tmp_path / p) for p in ("chunks", "out", "ckpt"))
+    _write_batch(
+        encode_envelope(rows).select("envelope", "chunk_tokens", "source"), cdir
+    )
+
+    q = (
+        stream_reassemble(spark, cdir, state_timeout_ms=1500)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            seg = _segments(spark, out)
+            if len(seg):
+                break
+            _t.sleep(0.5)
+        assert [list(t) for t in seg["tokens"]] == [[1]]  # 5 held behind the gap
+
+        _t.sleep(6)  # >> TTL: timeout batches fire, state evicted
+
+        revived = spark.createDataFrame(
+            [("d", 10, 7, [7], "s")],
+            schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+        )
+        _write_batch(
+            encode_envelope(revived).select("envelope", "chunk_tokens", "source"),
+            cdir,
+        )
+        deadline = _t.time() + 90
+        got = None
+        while _t.time() < deadline:
+            seg = _segments(spark, out)
+            if len(seg) >= 2:
+                got = sorted([list(t) for t in seg["tokens"]])
+                break
+            _t.sleep(0.5)
+        assert got == [[1], [7]], f"state not evicted (got {got})"
+    finally:
+        q.stop()
+
+
 class _FakeState:
     """Minimal GroupState double for kernel-level tests."""
 
