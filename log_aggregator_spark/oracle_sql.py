@@ -502,6 +502,18 @@ def _similarity_sql() -> dict[str, str]:
         for b in range(_sim.N_BANDS)
     )
     banded = f", bk AS (\n  {bands}\n)"
+    # multi-probe expansion of the probe (query) side — mirrors
+    # similarity.lsh_probe_keys: base bucket + one-bit flips
+    masks = [0] + [1 << j for j in range(_sim.BITS_PER_BAND)]
+    if _sim.MULTIPROBE:
+        banded += f""",
+pk AS (
+  SELECT vec_id, v, n2, band, xor(bucket, CAST(m AS BIGINT)) AS bucket
+  FROM bk, (SELECT unnest({masks}) AS m)
+)"""
+        probe_side = "pk"
+    else:
+        probe_side = "bk"
     return {
         "sim_brute_topk": _SIM_PRELUDE
         + f"""
@@ -535,7 +547,7 @@ FROM (
          CAST(count(*) AS BIGINT) AS n_bands,
          list_dot_product(any_value(a.v), any_value(b.v))
            / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
-  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+  FROM {probe_side} a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 ) WHERE sim >= {_sim.LSH_TAU}
@@ -552,7 +564,7 @@ FROM (
     SELECT a.vec_id, b.vec_id AS nb_id,
            list_dot_product(any_value(a.v), any_value(b.v))
              / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
-    FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+    FROM {probe_side} a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                        AND a.vec_id <> b.vec_id
     GROUP BY a.vec_id, b.vec_id
   )
@@ -578,7 +590,7 @@ approx AS (
       SELECT a.vec_id, b.vec_id AS nb_id,
              list_dot_product(any_value(a.v), any_value(b.v))
                / sqrt(any_value(a.n2) * any_value(b.n2)) AS sim
-      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      FROM {probe_side} a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
                          AND a.vec_id <> b.vec_id
       WHERE {_QSAMPLE_PRED.format(col="a.vec_id")}
       GROUP BY a.vec_id, b.vec_id
