@@ -318,6 +318,10 @@ def q_ev_percentiles(spark, sf_dir):
     return fev.value_percentiles(_events(spark, sf_dir))
 
 
+def q_ev_percentiles_approx(spark, sf_dir):
+    return fev.value_percentiles_approx(_events(spark, sf_dir))
+
+
 def q_ev_windowed_topk(spark, sf_dir):
     return fev.windowed_topk_types(_events(spark, sf_dir))
 
@@ -388,6 +392,7 @@ QUERIES: dict[str, QueryFn] = {
     "ev_error_rate": q_ev_error_rate,
     "ev_props_extract": q_ev_props_extract,
     "ev_percentiles": q_ev_percentiles,
+    "ev_percentiles_approx": q_ev_percentiles_approx,
     "ev_windowed_topk": q_ev_windowed_topk,
     "ev_spikes": q_ev_spikes,
     "text_ngram_counts": q_text_ngram_counts,

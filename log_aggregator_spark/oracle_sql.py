@@ -727,6 +727,17 @@ SELECT event_type,
 FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
 GROUP BY event_type
 """,
+    # discrete-percentile twin of the approx_percentile path: at test scale
+    # the GK sketch is lossless (group < accuracy), and its returned element
+    # matches quantile_disc's smallest-rank-≥⌈p·n⌉ convention exactly
+    "ev_percentiles_approx": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_x100,
+       CAST(quantile_disc(v, 0.95) AS BIGINT) AS p95_x100
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+GROUP BY event_type
+""",
     # pure integer cross-multiplication: n·n_hours > factor·total
     "ev_spikes": """
 WITH hourly AS (

@@ -38,6 +38,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Never-manifested data dirs younger than this survive orphan GC — they may
+# be a concurrent commit's files awaiting its manifest CAS (Iceberg's
+# remove_orphan_files uses the same 3-day default for the same race).
+ORPHAN_MIN_AGE_SEC: float = 3 * 24 * 3600
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another committer already published this snapshot id. Iceberg's
@@ -192,39 +197,62 @@ class SnapshotTable:
             lineage={**self.lineage(cur), "compacted_from": cur},
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_min_age_sec: float = ORPHAN_MIN_AGE_SEC
+    ) -> dict:
         """Iceberg's ``expire_snapshots`` + ``remove_orphan_files`` pair:
         drop manifests older than the newest ``keep_last`` snapshots, then
-        delete every data file referenced by NO surviving manifest —
-        including crash-orphaned data dirs that never made it into a
-        manifest. CURRENT is untouched (always among the kept). Incremental
+        delete every data file referenced by NO surviving manifest.
+        CURRENT is untouched (always among the kept). Incremental
         reads/time travel older than the horizon stop working, exactly as
-        in Iceberg. Returns {'expired': [...], 'deleted_files': n}."""
+        in Iceberg. Returns {'expired': [...], 'deleted_files': n}.
+
+        ``orphan_min_age_sec`` guards the concurrent-committer race
+        (ADVICE r2): a live committer writes its data/<uuid> dirs BEFORE
+        the manifest CAS, so a never-manifested dir younger than the
+        threshold may be an in-flight commit, not a crash orphan — it is
+        skipped (Iceberg's remove_orphan_files defaults to 3 days for
+        exactly this). Dirs referenced only by the manifests being expired
+        were committed and superseded — they delete regardless of age."""
         cur = self.current_snapshot()
         if cur is None:
             return {"expired": [], "deleted_files": 0}
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
         expired = []
         referenced: set[str] = set()
+        expired_refs: set[str] = set()
         for path in sorted(glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))):
             snap_id = int(os.path.basename(path)[5:13])
             if snap_id in keep:
                 referenced.update(self._manifest(snap_id)["files"])
             else:
+                expired_refs.update(self._manifest(snap_id)["files"])
                 os.remove(path)
                 expired.append(snap_id)
-        deleted = _gc_data_dir(os.path.join(self.root, "data"), referenced)
+        deleted = _gc_data_dir(
+            os.path.join(self.root, "data"), referenced, expired_refs,
+            orphan_min_age_sec,
+        )
         return {"expired": expired, "deleted_files": deleted}
 
 
-def _gc_data_dir(data_root: str, referenced: set[str]) -> int:
+def _gc_data_dir(
+    data_root: str,
+    referenced: set[str],
+    expired_refs: set[str] = frozenset(),
+    orphan_min_age_sec: float = ORPHAN_MIN_AGE_SEC,
+) -> int:
     """Delete whole unreferenced commit dirs under ``data_root`` (every
     commit wrote exactly one ``data/<uuid>`` dir, so orphan granularity is
-    the dir): a dir none of whose part files appear in any surviving
-    manifest — including crash leftovers that never reached a manifest —
-    is dropped with its sidecars. Driver-side metadata-only walk."""
+    the dir). A dir referenced only by expired manifests is settled history
+    — deleted immediately; a dir referenced by NO manifest ever is deleted
+    only past ``orphan_min_age_sec`` (it may belong to an in-flight
+    concurrent commit — see expire_snapshots). Driver-side metadata-only
+    walk."""
     import shutil
+    import time as _time
 
+    cutoff = _time.time() - orphan_min_age_sec
     deleted = 0
     for d in glob.glob(os.path.join(data_root, "*")):
         parts = [
@@ -233,6 +261,13 @@ def _gc_data_dir(data_root: str, referenced: set[str]) -> int:
         ]
         if parts and any(p in referenced for p in parts):
             continue
+        was_manifested = any(p in expired_refs for p in parts)
+        if not was_manifested:
+            try:
+                if os.path.getmtime(d) >= cutoff:
+                    continue  # possible in-flight commit — too young to GC
+            except OSError:
+                continue
         deleted += len(parts)
         shutil.rmtree(d, ignore_errors=True)
     return deleted
@@ -514,23 +549,35 @@ class TableGroup:
             dfs, lineage={**self.lineage(cur), "compacted_from": cur}
         )
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_min_age_sec: float | None = None
+    ) -> dict:
         """Expire group manifests older than the newest ``keep_last`` and
-        GC every data dir referenced by no surviving manifest (crash
-        orphans included). See SnapshotTable.expire_snapshots."""
+        GC every data dir referenced by no surviving manifest. Crash
+        orphans (never-manifested dirs) are deleted only past the min-age
+        guard — see SnapshotTable.expire_snapshots for the concurrent-
+        committer race this protects."""
+        if orphan_min_age_sec is None:
+            orphan_min_age_sec = ORPHAN_MIN_AGE_SEC
         cur = self.current_snapshot()
         if cur is None:
             return {"expired": [], "deleted_files": 0}
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
         expired = []
         referenced: set[str] = set()
+        expired_refs: set[str] = set()
         for path in sorted(glob.glob(os.path.join(self._manifest_dir, "snap-*.json"))):
             snap_id = int(os.path.basename(path)[5:13])
             if snap_id in keep:
                 for entry in self._manifest(snap_id)["tables"].values():
                     referenced.update(entry["files"])
             else:
+                for entry in self._manifest(snap_id)["tables"].values():
+                    expired_refs.update(entry["files"])
                 os.remove(path)
                 expired.append(snap_id)
-        deleted = _gc_data_dir(os.path.join(self.root, "data"), referenced)
+        deleted = _gc_data_dir(
+            os.path.join(self.root, "data"), referenced, expired_refs,
+            orphan_min_age_sec,
+        )
         return {"expired": expired, "deleted_files": deleted}

@@ -53,6 +53,12 @@ def test_expire_snapshots_gc_orphans(spark, tmp_path):
     res = t.expire_snapshots(keep_last=1)
     assert res["expired"] == [1, 2, 3, 4]
     assert res["deleted_files"] > 0
+    # min-age guard (ADVICE r2): the FRESH never-manifested dir survives —
+    # it is indistinguishable from a concurrent commit's pre-CAS files
+    assert os.path.exists(orphan)
+    # past the age threshold it is a true crash orphan and goes
+    res2 = t.expire_snapshots(keep_last=1, orphan_min_age_sec=0)
+    assert res2["deleted_files"] == 1
     assert not os.path.exists(orphan)
     # current snapshot intact and readable
     assert sorted(r["x"] for r in t.read(spark).collect()) == list(range(20))
