@@ -48,7 +48,7 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .lineage import lineage_records
+from .lineage import lineage_from_files, lineage_records
 from .operators.aggregate import sink_counts
 from .operators.enrich import enrich
 from .operators.reassemble import (
@@ -104,6 +104,7 @@ def run_job(
     routes,
     state: JobState,
     held_max_age_runs: int | None = None,
+    lineage_mode: str = "metadata",
 ) -> dict:
     """One resumable pass. Returns a run summary dict.
 
@@ -113,7 +114,11 @@ def run_job(
     run that first held it, and chunks older than N runs move to the
     ``quarantine`` member table (visible for audit/backfill) instead of
     being re-gated forever — the batch counterpart of the streaming state
-    TTL. None (default) = keep forever (reference-faithful)."""
+    TTL. None (default) = keep forever (reference-faithful).
+
+    ``lineage_mode``: 'metadata' (default — manifest diff + parquet
+    footers, zero extra data I/O), 'scan' (mapInPandas pass: per-partition
+    wall times, works on any input), or 'off'."""
     t_start = time.perf_counter()
     last_processed = None
     ckpt_df = None
@@ -147,11 +152,21 @@ def run_job(
     for p in parsed_parts[1:]:
         parsed = parsed.unionByName(p)
 
-    # lineage scan over this pass's *new* input (metrics, not on the hot path)
-    lin = (
-        lineage_records(new_chunks) if new_chunks is not None
-        else spark.createDataFrame([], schema="partition_id int, input_file string, n_rows long, n_bytes long, wall_ms long")
+    # lineage over this pass's *new* input. Default 'metadata': parquet
+    # footers + manifest diff — no second data scan (at 100 TB a lineage
+    # scan doubles read I/O). 'scan' keeps the per-task mapInPandas pass
+    # (per-partition wall times, arbitrary inputs); 'off' skips.
+    empty_lin = spark.createDataFrame(
+        [], schema="partition_id int, input_file string, n_rows long, n_bytes long, wall_ms long"
     )
+    if new_chunks is None or lineage_mode == "off":
+        lin = empty_lin
+    elif lineage_mode == "scan":
+        lin = lineage_records(new_chunks)
+    else:
+        lin = lineage_from_files(
+            spark, chunks_table.incremental_files(last_processed)
+        )
 
     run_id = current_snap or 0
     # age unit for the held cache: the group's own pass counter (one commit

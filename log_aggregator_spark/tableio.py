@@ -167,6 +167,17 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*files)
 
+    def incremental_files(self, since: int | None) -> list[str]:
+        """The file list ``read_incremental(since)`` would scan — the
+        manifest diff, for metadata-only consumers (lineage)."""
+        current = self.current_snapshot()
+        if current is None or (since is not None and current <= since):
+            return []
+        if since is None:
+            return list(self._manifest(current)["files"])
+        old = set(self._manifest(since)["files"])
+        return [f for f in self._manifest(current)["files"] if f not in old]
+
     def lineage(self, snapshot: int | None = None) -> dict:
         snap = snapshot if snapshot is not None else self.current_snapshot()
         return self._manifest(snap)["lineage"] if snap else {}

@@ -130,6 +130,20 @@ def main() -> None:
     sections.append(("dedup_ngram_jaccard", jplan,
                      ["equi-join on the df-capped shingle key"]))
 
+    # --- survivor pick: map-combinable aggregate, never a rank window ----
+    sq = QUERIES["dedup_survivors"](spark, SF)
+    splan = fmt_plan(sq)
+    check("survivors no window", "Window" not in splan,
+          "survivor pick must aggregate (max(struct)), not rank-window the "
+          "inherently-skewed cluster key")
+    check("survivors partial agg", "partial_max" in splan,
+          "survivor aggregate must partial-combine map-side (giant-cluster "
+          "skew defuser)")
+    sections.append(("dedup_survivors", splan,
+                     ["max(struct(n_words, -doc_id)) with map-side "
+                      "partial_max — a giant duplicate cluster collapses "
+                      "per task, no single-task rank sort"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

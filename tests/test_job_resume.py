@@ -470,3 +470,26 @@ def test_lineage_metrics_recorded(spark, docs, tmp_path):
     assert m["n_rows"].sum() == chunks.count()
     assert (m["n_bytes"] > 0).all()
     assert state.metrics.lineage()["wall_sec"] > 0
+
+
+def test_lineage_metadata_matches_scan(spark, docs, tmp_path):
+    """The metadata-only lineage (parquet footers, zero extra data I/O —
+    the run_job default) must agree with the mapInPandas scan variant on
+    per-file row counts; files and totals identical."""
+    from log_aggregator_spark.lineage import lineage_from_files, lineage_records
+
+    chunks = chunker.chunks(docs)
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    ct.commit(chunks)
+    files = ct.incremental_files(None)
+    assert files
+    meta = lineage_from_files(spark, files).toPandas()
+    scan = (
+        lineage_records(ct.read(spark)).toPandas()
+        .groupby("input_file", as_index=False)["n_rows"].sum()
+    )
+    meta_counts = dict(zip(meta["input_file"], meta["n_rows"]))
+    # scan's input_file_name() is URI-form (file://...); compare by suffix
+    scan_counts = {f.replace("file://", ""): n for f, n in zip(scan["input_file"], scan["n_rows"])}
+    assert meta_counts == scan_counts
+    assert (meta["n_bytes"] > 0).all()
