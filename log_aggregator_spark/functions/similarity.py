@@ -231,7 +231,13 @@ def lsh_probe_keys(embeddings: DataFrame) -> DataFrame:
     only — the index (lsh_signature) still stores one entry per band, and
     the expansion is an ids-only narrow projection (24 B/row × (1+bits)),
     never vector bytes."""
-    sig = lsh_signature(embeddings)
+    return _expand_probes(lsh_signature(embeddings))
+
+
+def _expand_probes(sig: DataFrame) -> DataFrame:
+    """Probe expansion over an existing (vec_id, band, bucket) signature —
+    the reuse form: a materialized index expands without recomputing the
+    96 hyperplane dot products."""
     masks = F.array(
         *[F.lit(m).cast("long") for m in [0] + [1 << j for j in range(BITS_PER_BAND)]]
     )
@@ -269,7 +275,10 @@ def _attach_vectors(cand_ids: DataFrame, v: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    embeddings: DataFrame, tau: float = LSH_TAU, probes: bool = MULTIPROBE
+    embeddings: DataFrame,
+    tau: float = LSH_TAU,
+    probes: bool = MULTIPROBE,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs within Hamming-1 on ≥1 band (multi-probe; exact
     bucket match when ``probes=False``), then exact-cosine filtered at
@@ -277,9 +286,12 @@ def lsh_candidate_pairs(
     (band, bucket) over ids-only keys — the scale path (no cross join
     anywhere, no vector bytes through the pair shuffle). ``n_bands`` counts
     bands whose buckets are within the probe radius (each band matches at
-    most one probe mask, so multiplicity stays 0/1 per band)."""
-    bk = lsh_signature(embeddings)
-    left = lsh_probe_keys(embeddings) if probes else bk
+    most one probe mask, so multiplicity stays 0/1 per band).
+    ``signature_df``: a precomputed/materialized lsh_signature — the
+    index-reuse seam (the index is stored once, every lookup derives from
+    it)."""
+    bk = signature_df if signature_df is not None else lsh_signature(embeddings)
+    left = _expand_probes(bk) if probes else bk
     cand_ids = (
         left.join(
             bk.select(
@@ -305,16 +317,22 @@ def lsh_topk(
     k: int = LSH_TOPK,
     queries: DataFrame | None = None,
     probes: bool = MULTIPROBE,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank exact cosine *within LSH candidates only*
     (both directions of each pair). ``queries`` optionally restricts the
-    ranked side (its band keys are recomputed — a narrow projection — so
-    the candidate join's left input shrinks proportionally). The query
-    side is multi-probe-expanded by default (see lsh_probe_keys).
-    (vec_id, rank, neighbor_id)."""
-    bk = lsh_signature(embeddings)
-    qside = queries if queries is not None else embeddings
-    left = lsh_probe_keys(qside) if probes else lsh_signature(qside)
+    ranked side; with a materialized ``signature_df`` the query-side keys
+    come from a semi-join on the index (no recompute), otherwise they are
+    re-derived (a narrow projection). The query side is multi-probe-
+    expanded by default (see lsh_probe_keys). (vec_id, rank, neighbor_id)."""
+    bk = signature_df if signature_df is not None else lsh_signature(embeddings)
+    if queries is None:
+        qsig = bk
+    elif signature_df is not None:
+        qsig = bk.join(queries.select("vec_id"), "vec_id", "left_semi")
+    else:
+        qsig = lsh_signature(queries)
+    left = _expand_probes(qsig) if probes else qsig
     cand_ids = (
         left.join(
             bk.select(F.col("vec_id").alias("nb_id"), "band", "bucket"),
@@ -355,6 +373,7 @@ def lsh_recall(
     embeddings: DataFrame,
     k: int = LSH_TOPK,
     query_sample_16ths: int = QUERY_SAMPLE_16THS,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall@k of the LSH index vs exact brute-force ground truth
     — the number that turns the ANN path from "runs" into "shippable".
@@ -380,7 +399,9 @@ def lsh_recall(
     truth = brute_topk(embeddings, k=k, queries=queries).select(
         "vec_id", "neighbor_id"
     )
-    approx = lsh_topk(embeddings, k=k, queries=queries).select(
+    approx = lsh_topk(
+        embeddings, k=k, queries=queries, signature_df=signature_df
+    ).select(
         "vec_id", "neighbor_id", F.lit(1).alias("hit")
     )
     joined = truth.join(approx, ["vec_id", "neighbor_id"], "left")
