@@ -265,8 +265,9 @@ def main_default(args) -> None:
     # past 2000 → BENCH_r02.json parsed=null). Print a compact line that is
     # guaranteed to fit and park the full record (deltas, run list) in
     # BENCH_LOCAL.json for the round-over-round record.
-    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    if not args.json_out:  # scaling subprocesses must not clobber the record
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(result, f, indent=1)
     compact = {
         "metric": "pipeline_e2e_sec",
         "value": result["value"],
@@ -389,9 +390,28 @@ def _write_bench_md(summaries: list[dict]) -> None:
         f"| {x['seq_per_sec_n']:,.0f} → {x['seq_per_sec_4n']:,.0f} | **{x['value']}** |"
         for x in summaries
     )
+    # headline e2e = the DRIVER-HARNESS number (latest default-mode run,
+    # recorded in BENCH_LOCAL.json / BENCH_r{N}.json) — never a cleaner
+    # hand-run session (VERDICT r2 #5)
+    e2e_line = ""
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+            loc = json.load(fh)
+        e2e_line = (
+            f"\n## Headline e2e (driver harness)\n\n"
+            f"`python bench.py` default mode, sf{loc['sf']} queries + synth "
+            f"{loc['synth_docs']:,}-doc e2e, local[{loc['cores']}], min of 4: "
+            f"**{loc['value']} s = {loc['seq_per_sec']:,.0f} sequences/sec** "
+            f"(all runs: {[round(t, 2) for t in loc.get('all_runs_sec') or []]}). "
+            f"This is the number the driver's BENCH_r*.json records; any "
+            f"cleaner-session result is a footnote, not the headline.\n"
+        )
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH baseline — measured on this sandbox
+{e2e_line}
 
 Job: parse (Arrow UDF) → seq-gate/reassemble (single-shuffle window plan) →
 broadcast-enrich → per-sink partitioned fan-out write → sink aggregates,
