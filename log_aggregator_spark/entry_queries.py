@@ -322,6 +322,30 @@ def q_sim_lsh_recall(spark, sf_dir):
     )
 
 
+def _ivf_index(spark, sf_dir):
+    """The materialized IVF index (one cell per vector)."""
+    return _memo(
+        spark, sf_dir, "ivf_index",
+        lambda: fsim.ivf_assign(_emb(spark, sf_dir)),
+    )
+
+
+def q_sim_ivf_assign(spark, sf_dir):
+    return _ivf_index(spark, sf_dir)
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    return fsim.ivf_topk(
+        _emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir)
+    )
+
+
+def q_sim_ivf_recall(spark, sf_dir):
+    return fsim.ivf_recall(
+        _emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir)
+    )
+
+
 # ------------------------------------------------ events/telemetry queries
 
 
@@ -418,6 +442,9 @@ QUERIES: dict[str, QueryFn] = {
     "sim_lsh_pairs": q_sim_lsh_pairs,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_assign": q_sim_ivf_assign,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,

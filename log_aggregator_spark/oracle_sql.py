@@ -609,7 +609,88 @@ FROM j
     }
 
 
+def _centroid_lit(c: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in c) + "]"
+
+
+def _ivf_sql() -> dict[str, str]:
+    """IVF oracles — mirrors similarity.{ivf_assign, ivf_topk, ivf_recall}.
+    Cell scores are structs (s, nc=-cell); list_sort DESC is lexicographic
+    (score desc, cell asc) in BOTH engines (Spark sort_array verified
+    against DuckDB list_sort on ties), so argmax/top-nprobe are the sorted
+    head/slice. Centroid literals interpolated from the same CENTROIDS
+    constant the Spark plan embeds."""
+    score_structs = ", ".join(
+        f"struct_pack(s := list_dot_product(v, {_centroid_lit(_sim.CENTROIDS[c])}), "
+        f"nc := CAST({-c} AS BIGINT))"
+        for c in range(_sim.K_CELLS)
+    )
+    base = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT vec_id, v, list_sort([{score_structs}], 'DESC') AS sc FROM d
+),
+assign AS (SELECT vec_id, CAST(-sc[1].nc AS BIGINT) AS cell FROM scored),
+probes AS (
+  SELECT vec_id, CAST(-p.nc AS BIGINT) AS cell
+  FROM scored, unnest(sc[1:{_sim.NPROBE}]) AS t(p)
+),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d),
+cand AS (
+  SELECT p.vec_id, a.vec_id AS nb_id,
+         list_dot_product(qa.v, qb.v) / sqrt(qa.n2 * qb.n2) AS sim
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  JOIN n qa ON qa.vec_id = p.vec_id
+  JOIN n qb ON qb.vec_id = a.vec_id
+)
+"""
+    topk_core = f"""
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM (
+  SELECT vec_id, nb_id AS neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+  FROM cand
+) WHERE rank <= {_sim.LSH_TOPK}
+"""
+    return {
+        "sim_ivf_assign": base + "SELECT vec_id, cell FROM assign",
+        "sim_ivf_topk": base + topk_core,
+        "sim_ivf_recall": base + f""",
+p AS (
+  SELECT a.vec_id, b.vec_id AS nb_id,
+         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS sim
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+truth AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, nb_id AS neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+    FROM p
+    WHERE {_QSAMPLE_PRED.format(col="vec_id")}
+  ) WHERE rank <= {_sim.LSH_TOPK}
+),
+approx AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, nb_id AS neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rank
+    FROM cand WHERE {_QSAMPLE_PRED.format(col="vec_id")}
+  ) WHERE rank <= {_sim.LSH_TOPK}
+),
+j AS (
+  SELECT t.vec_id, CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN approx a USING (vec_id, neighbor_id)
+)
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(floor(1000.0 * sum(hit) / count(*)) AS BIGINT) AS recall_x1000
+FROM j
+""",
+    }
+
+
 SIMILARITY_SQL: dict[str, str] = _similarity_sql()
+SIMILARITY_SQL.update(_ivf_sql())
 
 # ------------------------------------------------- multimodal oracles
 # Mirrors functions/multimodal.py (deterministic fake media payloads:
