@@ -276,6 +276,37 @@ def q_text_vocab(spark, sf_dir):
     return ftext.vocabulary(_docs(spark, sf_dir))
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrub over the corpus with deterministic synthesized PII (the
+    fixture text is PII-free, so docs ≡0 mod 10 get an email + phone
+    appended — the same derivation the oracle SQL applies)."""
+    docs = _docs(spark, sf_dir)
+    t2 = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+        ),
+    ).otherwise(F.col("text"))
+    return ftext.pii_scrub(docs.withColumn("text", t2))
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the deterministic 3/16 hash-sample of
+    docs plays the held-out benchmark; training docs sharing an 8-gram
+    with it are flagged."""
+    docs = _docs(spark, sf_dir)
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return ftext.decontaminate(
+        docs.where(nib < 13), docs.where(nib >= 13)
+    )
+
+
 # ------------------------------------------------ similarity queries
 
 
@@ -436,6 +467,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "text_vocab": q_text_vocab,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_decontaminate": q_text_decontaminate,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_cosine_near_dup": q_sim_cosine_near_dup,
     "sim_lsh_signature": q_sim_lsh_signature,

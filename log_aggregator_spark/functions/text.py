@@ -170,6 +170,59 @@ def ngram_counts(documents: DataFrame, n: int = 2, top_n: int = VOCAB_TOPN) -> D
     return counts.orderBy(F.desc("n_occurrences"), F.col("ngram")).limit(top_n)
 
 
+# PII patterns: the RE2 ∩ Java-regex common subset (no lookaround), so the
+# Spark plan and the DuckDB oracle run the LITERAL same pattern.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the pre-training scrub every production corpus pays:
+    emails and phone-shaped tokens replaced by typed placeholders, with
+    per-doc match counts for audit. Pure JVM regexp (codegen, one
+    projection, zero shuffle); the scrubbed text is carried as md5 so the
+    gate compares a scalar. (doc_id, n_emails, n_phones, scrub_md5)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+DECON_NGRAM = 8
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-appendix n-gram rule): flag
+    every training doc sharing ≥1 word n-gram with the held-out benchmark
+    corpus. (doc_id, n_shared_grams) for contaminated docs only —
+    ``anti-join`` the result against the corpus to get the clean set.
+
+    Scale shape: the benchmark side is tiny relative to a 10^12-doc corpus
+    (eval sets are ~10^5 docs), so its distinct gram set broadcast-joins
+    against the training grams — a narrow filter per task, no pair
+    blow-up; the groupBy on doc_id is a partial-aggregated count. A
+    super-common gram in the benchmark would legitimately flag many docs
+    (that IS contamination semantics); cap the benchmark grams by df first
+    if a deployment wants stop-gram immunity."""
+    tg = shingles(documents, n=n)
+    bg = shingles(benchmark, n=n).select("shingle").distinct()
+    return (
+        tg.join(bg, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
 def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     """Deterministic content-hash sampling within each source stratum:
     keep a doc iff the first hex nibble of md5(doc_id) < keep_16ths

@@ -178,7 +178,19 @@ PIPELINE_SQL["pipeline_resume"] = PIPELINE_SQL["pipeline_reassemble"]
 # bit/nibble arithmetic so the SQL cannot drift from the Spark expressions.
 
 from .functions.dedup import DF_CAP  # noqa: E402
-from .functions.text import LANG_PROFILES, STOPWORDS, VOCAB_TOPN  # noqa: E402
+from .functions.text import (  # noqa: E402
+    DECON_NGRAM as _DECON_N,
+    EMAIL_RE,
+    LANG_PROFILES,
+    PHONE_RE,
+    STOPWORDS,
+    VOCAB_TOPN,
+)
+
+# regex literals for SQL interpolation: single-quote-escape only (patterns
+# contain no quotes today; the escape keeps that a non-event)
+_EMAIL_RE_SQL = EMAIL_RE.replace("'", "''")
+_PHONE_RE_SQL = PHONE_RE.replace("'", "''")
 
 _HEX = "0123456789abcdef"
 
@@ -449,6 +461,52 @@ SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM grams GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT {VOCAB_TOPN}
+""",
+        # PII scrub over the same deterministic synthesized-PII derivation
+        # as entry_queries.q_text_pii_scrub; patterns interpolated from the
+        # SAME text.EMAIL_RE/PHONE_RE constants (RE2 ∩ Java subset); 'g'
+        # flag because DuckDB regexp_replace is first-match by default
+        # while Spark's replaces all
+        "text_pii_scrub": """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-' || printf('%04d', doc_id % 10000)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '__EMAIL__', 0)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '__PHONE__', 0)) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+                          '__PHONE__', '<PHONE>', 'g')) AS scrub_md5
+FROM d
+""".replace("__EMAIL__", _EMAIL_RE_SQL).replace("__PHONE__", _PHONE_RE_SQL),
+        # 8-gram benchmark decontamination (mirrors text.decontaminate over
+        # the 3/16 hash-sample split of entry_queries.q_text_decontaminate)
+        "text_decontaminate": f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-{_DECON_N - 1}, 1) + 1)) AS i
+        FROM w)
+),
+bench AS (
+  SELECT DISTINCT gram FROM g
+  WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 >= 13
+),
+train AS (
+  SELECT * FROM g
+  WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 < 13
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM train JOIN bench USING (gram)
+GROUP BY doc_id
 """,
     }
 
