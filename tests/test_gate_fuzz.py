@@ -69,7 +69,13 @@ def test_random_corpus_all_strategies_match_oracle(spark):
         n = int(rng.integers(1, 10))
         seqs = rng.integers(0, 8, size=n)
         for s in seqs:
-            rows.append((doc, sess, int(s), [int(s) * 100 + i], "s0"))
+            # duplicate seqs get DIFFERING payloads (random tail element):
+            # all strategies + the oracle must settle on the SAME
+            # lexicographically-least survivor, not an arrival artifact
+            rows.append(
+                (doc, sess, int(s),
+                 [int(s) * 100 + i, int(rng.integers(0, 100))], "s0")
+            )
         if rng.random() < 0.3:
             ckpt_rows.append((doc, sess, int(rng.integers(1, 5))))
 

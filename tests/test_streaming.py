@@ -338,6 +338,27 @@ def test_state_ttl_kernel_eviction():
     assert st4.timeout_set is None
 
 
+def test_streaming_gate_duplicate_payload_survivor():
+    """Kernel-level: duplicate seqs with DIFFERING payloads in one
+    micro-batch — the streaming gate must emit the lexicographically-least
+    payload (the engine's survivor rule, shared with all batch
+    strategies), regardless of arrival order."""
+    from log_aggregator_spark.streaming.stream_pipeline import _make_gate
+
+    gate = _make_gate(None)
+    pdf = pd.DataFrame(
+        {
+            "seq": [2, 1, 2, 2],
+            "chunk_tokens": [[9, 9], [1], [2, 5], [2, 4]],
+            "source": ["s"] * 4,
+        }
+    )
+    st = _FakeState()
+    out = list(gate(("d", 10), iter([pdf]), st))
+    assert len(out) == 1
+    assert list(out[0]["tokens"].iloc[0]) == [1, 2, 4]  # seq2 survivor = [2,4]
+
+
 def test_streaming_event_windows_match_batch(spark, tmp_path):
     """Watermarked tumbling windows + session windows over the events
     stream must agree with the batch family on identical bounded input
