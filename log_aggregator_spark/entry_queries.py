@@ -226,8 +226,15 @@ def q_dedup_simhash(spark, sf_dir):
     return fdedup.simhash(_docs(spark, sf_dir))
 
 
+def _simhash_pairs(spark, sf_dir):
+    return _memo(
+        spark, sf_dir, "simhash_pairs",
+        lambda: fdedup.simhash_near_pairs(_docs(spark, sf_dir)),
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    return fdedup.simhash_near_pairs(_docs(spark, sf_dir))
+    return _simhash_pairs(spark, sf_dir)
 
 
 # Materialize-once intermediates, exactly as a real pipeline stores them:
@@ -257,7 +264,9 @@ def _clusters(spark, sf_dir):
     return _memo(
         spark, sf_dir, "clusters",
         lambda: fdedup.duplicate_clusters(
-            _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+            _docs(spark, sf_dir),
+            shingles_df=_shingles(spark, sf_dir),
+            simhash_pairs_df=_simhash_pairs(spark, sf_dir),
         ),
     )
 

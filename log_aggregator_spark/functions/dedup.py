@@ -297,17 +297,27 @@ def exact_pairs(documents: DataFrame) -> DataFrame:
 
 
 def all_near_dup_pairs(
-    documents: DataFrame, shingles_df: DataFrame | None = None
+    documents: DataFrame,
+    shingles_df: DataFrame | None = None,
+    simhash_pairs_df: DataFrame | None = None,
 ) -> DataFrame:
     """The union pair graph the survivor pick runs on: exact ∪ MinHash-LSH ∪
-    SimHash edges, all from banded equi-joins (nothing quadratic)."""
+    SimHash edges, all from banded equi-joins (nothing quadratic). The two
+    expensive edge families accept materialized inputs (``shingles_df``,
+    ``simhash_pairs_df``) — the same store-the-intermediate seam as
+    clusters/survivors."""
+    sim_pairs = (
+        simhash_pairs_df
+        if simhash_pairs_df is not None
+        else simhash_near_pairs(documents)
+    )
     return (
         exact_pairs(documents)
         .unionByName(
             minhash_candidate_pairs(documents, shingles_df=shingles_df)
             .select("doc_a", "doc_b")
         )
-        .unionByName(simhash_near_pairs(documents).select("doc_a", "doc_b"))
+        .unionByName(sim_pairs.select("doc_a", "doc_b"))
         .distinct()
     )
 
@@ -412,7 +422,9 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def duplicate_clusters(
-    documents: DataFrame, shingles_df: DataFrame | None = None
+    documents: DataFrame,
+    shingles_df: DataFrame | None = None,
+    simhash_pairs_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) over the full union pair graph —
     the end-to-end dedup: every doc labeled with its duplicate-cluster id,
@@ -427,7 +439,11 @@ def duplicate_clusters(
     dup definition; ``components`` is indifferent to where the pairs came
     from."""
     return components(
-        all_near_dup_pairs(documents, shingles_df=shingles_df),
+        all_near_dup_pairs(
+            documents,
+            shingles_df=shingles_df,
+            simhash_pairs_df=simhash_pairs_df,
+        ),
         documents.select("doc_id"),
     )
 
