@@ -105,6 +105,35 @@ def run_job(
     state: JobState,
     held_max_age_runs: int | None = None,
     lineage_mode: str = "metadata",
+    retries: int = 0,
+) -> dict:
+    """See ``_run_job_once``. ``retries``: on ``ConcurrentCommitError``
+    (another committer won the manifest CAS) re-read the group state and
+    re-run the pass up to N more times — the loser's recomputation then
+    stands on the winner's committed checkpoint, so work is neither lost
+    nor doubled. 0 (default) = propagate immediately."""
+    from .tableio import ConcurrentCommitError
+
+    for attempt in range(retries + 1):
+        try:
+            return _run_job_once(
+                spark, chunks_table, routes, state,
+                held_max_age_runs=held_max_age_runs,
+                lineage_mode=lineage_mode,
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _run_job_once(
+    spark: SparkSession,
+    chunks_table: SnapshotTable,
+    routes,
+    state: JobState,
+    held_max_age_runs: int | None = None,
+    lineage_mode: str = "metadata",
 ) -> dict:
     """One resumable pass. Returns a run summary dict.
 
@@ -274,6 +303,35 @@ def run_job(
         "wall_sec": round(time.perf_counter() - t_start, 3),
         "sink_counts": counts,
     }
+
+
+def requeue_quarantine(spark: SparkSession, state: JobState) -> int:
+    """Backfill: move every quarantined chunk back into the held cache so
+    the next pass re-gates it — the operator a deployment runs after the
+    root cause of a permanent gap is fixed (the missing chunks finally
+    shipped, or the source was re-exported). One atomic TableGroup commit:
+    held gains the rows (age reset to the current pass so they don't
+    instantly re-quarantine), quarantine empties. Returns rows moved."""
+    if not state.quarantine.exists():
+        return 0
+    q = state.quarantine.read(spark)
+    n = q.count()
+    if n == 0:
+        return 0
+    pass_id = (state.group.current_snapshot() or 0) + 1
+    requeued = q.select(
+        "doc_id", "session", "seq", "chunk_tokens", "source"
+    ).withColumn("first_held_run", F.lit(pass_id).cast("long"))
+    if state.held.exists():
+        requeued = state.held.read(spark).select(*requeued.columns).unionByName(
+            requeued
+        )
+    empty_q = spark.createDataFrame([], schema=q.schema)
+    state.group.commit(
+        {"held": (requeued, "overwrite"), "quarantine": (empty_q, "overwrite")},
+        lineage={"requeued_quarantine_rows": n, "pass_id": pass_id},
+    )
+    return n
 
 
 def main() -> None:  # pragma: no cover - exercised via spark-submit

@@ -286,6 +286,115 @@ def test_concurrent_commit_cas_fails_loudly(spark, tmp_path):
     assert g.table("a").read(spark).count() == 3
 
 
+def test_run_job_retries_after_losing_commit_race(spark, tmp_path, monkeypatch):
+    """run_job(retries=N): a committer that loses the manifest CAS re-runs
+    the pass on the winner's committed state instead of dying. Simulated as
+    a GENUINE race: a rival TableGroup commits from the same parent in the
+    window between the loser's manifest build and its CURRENT swap."""
+    from log_aggregator_spark.tableio import ConcurrentCommitError, TableGroup
+
+    good = spark.createDataFrame(
+        [("d", 10, 1, [1], "src1"), ("d", 10, 2, [2], "src1")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    ct.commit(encode_envelope(good).select("envelope", "chunk_tokens", "source"))
+
+    real_publish = TableGroup._publish
+
+    def lose_race_once(self, snap_id, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            rival = TableGroup(self.root)
+            audit = spark.createDataFrame([("rival",)], schema="who string")
+            rival.commit({"audit": (audit, "append")})
+        return real_publish(self, snap_id, manifest)
+
+    monkeypatch.setattr(TableGroup, "_publish", lose_race_once)
+
+    # retries=0 (default): the loss propagates
+    raced = {"done": False}
+    state0 = JobState(str(tmp_path / "state0"))
+    with pytest.raises(ConcurrentCommitError):
+        run_job(spark, ct, routes, state0)
+
+    # retries=1: the re-run stands on the winner's snapshot and succeeds
+    raced = {"done": False}
+    state = JobState(str(tmp_path / "state"))
+    r = run_job(spark, ct, routes, state, retries=1)
+    assert r["status"] == "ok"
+    routed = state.routed.read(spark).collect()
+    assert len(routed) == 1 and list(routed[0]["tokens"]) == [1, 2]
+    # the rival's commit survived (snapshot 1) and the pass landed on top (2)
+    assert state.group.current_snapshot() == 2
+    assert state.group.table("audit").read(spark).count() == 1
+
+
+def test_requeue_quarantine_backfills_held(spark, tmp_path):
+    """requeue_quarantine: after the root cause of a permanent gap is fixed,
+    quarantined chunks move back to the held cache (one atomic commit, age
+    reset) and the next pass emits the filled suffix exactly once."""
+    from log_aggregator_spark.job import requeue_quarantine
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 3,
+            "session": [10] * 3,
+            "seq": [1, 2, 5],  # 3, 4 delayed for several runs
+            "chunk_tokens": [[1], [2], [5]],
+            "source": ["src1"] * 3,
+        }
+    )
+    full = spark.createDataFrame(
+        pdf, schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string"
+    )
+    routes = spark.createDataFrame(
+        [("src1", "sinkA", 0)], schema="source string, sink string, priority int"
+    )
+    ct = SnapshotTable(str(tmp_path / "chunks"))
+    state = JobState(str(tmp_path / "state"))
+
+    ct.commit(encode_envelope(full).select("envelope", "chunk_tokens", "source"))
+    run_job(spark, ct, routes, state, held_max_age_runs=2)
+    for i in (2, 3):
+        ct.commit(encode_envelope(spark.createDataFrame(
+            [(f"x{i}", 10, 1, [i], "src1")],
+            schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+        )).select("envelope", "chunk_tokens", "source"))
+        run_job(spark, ct, routes, state, held_max_age_runs=2)
+    assert state.quarantine.read(spark).count() == 1  # seq 5 quarantined
+
+    moved = requeue_quarantine(spark, state)
+    assert moved == 1
+    assert state.quarantine.read(spark).count() == 0
+    held = state.held.read(spark).collect()
+    assert len(held) == 1 and held[0]["seq"] == 5
+    # age was reset: first_held_run == the requeue pass, not the original
+    assert held[0]["first_held_run"] == state.group.current_snapshot()
+
+    # the missing chunks finally ship → one pass emits the suffix once
+    ct.commit(encode_envelope(spark.createDataFrame(
+        [("d", 10, 3, [3], "src1"), ("d", 10, 4, [4], "src1")],
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )).select("envelope", "chunk_tokens", "source"))
+    r = run_job(spark, ct, routes, state, held_max_age_runs=2)
+    seg = state.routed.read(spark).where(
+        (F.col("doc_id") == "d") & (F.col("run_id") == r["run_id"])
+    ).collect()
+    assert len(seg) == 1 and list(seg[0]["tokens"]) == [3, 4, 5]
+    ck = {r2["doc_id"]: r2["last_seq"] for r2 in state.checkpoint.read(spark).collect()}
+    assert ck["d"] == 5
+    assert state.held.read(spark).count() == 0
+
+    # idempotent: empty quarantine → no-op, no commit
+    snap_before = state.group.current_snapshot()
+    assert requeue_quarantine(spark, state) == 0
+    assert state.group.current_snapshot() == snap_before
+
+
 def test_session_restart_across_runs(spark, tmp_path):
     """Truncation/rotation mid-corpus across a checkpointed run boundary
     (reference ``LogTail.java:60-82`` MOVED/TRUNCATED + ``PathProvider.
