@@ -106,6 +106,56 @@ def test_streaming_gap_fill_across_microbatches(spark, tmp_path):
     assert len(_segments(spark, out)) == 2
 
 
+def test_streaming_throttle_bounds_microbatches(spark, tmp_path):
+    """S16 throttle/backpressure, exercised end-to-end: Spark's pull-side
+    admission control (``maxFilesPerTrigger=1``) replaces the reference's
+    server-pushed throttle (``LogServerController.java:104-112`` sets it,
+    ``AsyncPusher.java:88-97`` sleeps). Each micro-batch admits exactly one
+    file — bounded state delta per trigger — and the throttled drain still
+    produces the identical output, just across more batches."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 4,
+            "session": [10] * 4,
+            "seq": [1, 2, 3, 4],
+            "chunk_tokens": [[1], [2], [3], [4]],
+            "source": ["s"] * 4,
+        }
+    )
+    full = spark.createDataFrame(
+        rows,
+        schema="doc_id string, session long, seq long, chunk_tokens array<int>, source string",
+    )
+    env = encode_envelope(full).select("envelope", "chunk_tokens", "source")
+    cdir, out, ckpt = (str(tmp_path / p) for p in ("chunks", "out", "ckpt"))
+    for s in (1, 2, 3, 4):  # four files => four admission units
+        env.where(F.col("chunk_tokens")[0] == s).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdir)
+
+    q = (
+        stream_reassemble(spark, cdir, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def _rows(p):
+        return p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+
+    fed = [p for p in q.recentProgress if _rows(p) > 0]
+    assert len(fed) == 4, "throttle must split the drain into 4 micro-batches"
+    assert all(_rows(p) == 1 for p in fed), "each batch admits exactly 1 file"
+
+    # output identical to an unthrottled drain: four consecutive segments
+    seg = _segments(spark, out).sort_values("last_seq_out")
+    assert [list(t) for t in seg["tokens"]] == [[1], [2], [3], [4]]
+    assert list(seg["last_seq_out"]) == [1, 2, 3, 4]
+
+
 def test_streaming_kill_restart_matches_batch(spark, tmp_path):
     """The exactly-once claim, end-to-end on a real corpus slice: deliver
     half the chunks, run the query to completion and KILL it; deliver the
