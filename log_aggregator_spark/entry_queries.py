@@ -303,6 +303,14 @@ def q_text_pii_scrub(spark, sf_dir):
     return ftext.pii_scrub(docs.withColumn("text", t2))
 
 
+def q_text_repetition(spark, sf_dir):
+    return ftext.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_domain_quota(spark, sf_dir):
+    return ftext.domain_quota(_docs(spark, sf_dir))
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the deterministic 3/16 hash-sample of
     docs plays the held-out benchmark; training docs sharing an 8-gram
@@ -372,6 +380,12 @@ def _ivf_index(spark, sf_dir):
 
 def q_sim_ivf_assign(spark, sf_dir):
     return _ivf_index(spark, sf_dir)
+
+
+def q_sim_semantic_near_dup(spark, sf_dir):
+    return fsim.semantic_near_dup(
+        _emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir)
+    )
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -487,6 +501,9 @@ QUERIES: dict[str, QueryFn] = {
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_semantic_near_dup": q_sim_semantic_near_dup,
+    "text_repetition": q_text_repetition,
+    "text_domain_quota": q_text_domain_quota,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,

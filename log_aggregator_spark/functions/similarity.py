@@ -414,6 +414,41 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def semantic_near_dup(
+    embeddings: DataFrame,
+    tau: float = NEAR_DUP_TAU,
+    assign_df: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    confine the near-duplicate search to vectors quantized into the SAME
+    IVF cell, then exact-cosine re-rank inside each cell. This is the
+    scale path of ``cosine_near_dup``: candidate generation is an
+    equi-join on ``cell`` (each vector lives in exactly one cell, so every
+    pair is generated at most once — no dedup aggregation), bounding the
+    all-pairs blow-up per cell instead of globally. Pairs move ids-only
+    through the join; vectors are re-attached once per candidate
+    (``_attach_vectors``). With trained (balanced) centroids each cell is
+    O(n/k) and the per-cell block join is local work; the fixed random
+    quantizer here keeps the query/oracle shape identical to production
+    (only the centroid literals change — see the IVF note above).
+    ``assign_df``: a materialized ``ivf_assign`` index (the reuse seam).
+    (vec_a, vec_b, cell, sim_x1m)."""
+    assign = assign_df if assign_df is not None else ivf_assign(embeddings)
+    right = assign.select(F.col("vec_id").alias("nb_id"), "cell")
+    cand_ids = (
+        assign.join(right, "cell")
+        .where(F.col("vec_id") < F.col("nb_id"))
+        .select("vec_id", "nb_id", "cell")
+    )
+    cand = _attach_vectors(cand_ids, _vecs(embeddings))
+    return cand.where(F.col("sim") >= tau).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("nb_id").alias("vec_b"),
+        F.col("cell").cast("long").alias("cell"),
+        F.floor(F.col("sim") * 1_000_000).cast("long").alias("sim_x1m"),
+    )
+
+
 def ivf_probe_cells(embeddings: DataFrame, nprobe: int = NPROBE) -> DataFrame:
     """(vec_id, cell) — each query's NPROBE best cells (sorted slice of the
     same scores projection, then a tiny explode)."""

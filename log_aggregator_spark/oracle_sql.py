@@ -180,9 +180,12 @@ PIPELINE_SQL["pipeline_resume"] = PIPELINE_SQL["pipeline_reassemble"]
 from .functions.dedup import DF_CAP  # noqa: E402
 from .functions.text import (  # noqa: E402
     DECON_NGRAM as _DECON_N,
+    DOMAIN_QUOTA_K,
     EMAIL_RE,
     LANG_PROFILES,
     PHONE_RE,
+    REP_MAX_DUPW_X1000,
+    REP_MAX_TOP2_X1000,
     STOPWORDS,
     VOCAB_TOPN,
 )
@@ -508,6 +511,54 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
 FROM train JOIN bench USING (gram)
 GROUP BY doc_id
 """,
+        # Gopher repetition rules — mirrors text.repetition_stats (n=2);
+        # thresholds interpolated from the same constants the Spark plan uses
+        "text_repetition": f"""
+WITH lw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, len(words) AS nw, len(list_distinct(words)) AS ndw,
+         array_to_string(words[i:i+1], ' ') AS ngram
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-1, 1) + 1)) AS i
+        FROM lw)
+),
+per AS (
+  SELECT doc_id, ngram, count(*) AS c,
+         any_value(nw) AS nw, any_value(ndw) AS ndw
+  FROM grams GROUP BY doc_id, ngram
+),
+agg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total,
+         any_value(nw) AS nw, any_value(ndw) AS ndw
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(floor(1000.0 * top_c / total) AS BIGINT) AS top_ngram_x1000,
+       CAST(floor(1000.0 * (nw - ndw) / nw) AS BIGINT) AS dup_word_x1000,
+       CAST(floor(1000.0 * top_c / total) <= {REP_MAX_TOP2_X1000}
+            AND floor(1000.0 * (nw - ndw) / nw) <= {REP_MAX_DUPW_X1000}
+            AS BIGINT) AS keep
+FROM agg
+""",
+        # per-domain quota — mirrors text.domain_quota (the de-skewed
+        # two-phase top-k collapses to a plain rank in SQL semantics)
+        "text_domain_quota": f"""
+WITH qn AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_words
+FROM (
+  SELECT source, doc_id, n_words,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_words DESC, doc_id) AS rank
+  FROM qn
+) WHERE rank <= {DOMAIN_QUOTA_K}
+""",
     }
 
 
@@ -714,6 +765,18 @@ FROM (
     return {
         "sim_ivf_assign": base + "SELECT vec_id, cell FROM assign",
         "sim_ivf_topk": base + topk_core,
+        # SemDeDup-style semantic near-dup: same-cell pairs, exact cosine
+        # re-rank — mirrors similarity.semantic_near_dup
+        "sim_semantic_near_dup": base + f"""
+SELECT vec_a, vec_b, cell, CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         list_dot_product(qa.v, qb.v) / sqrt(qa.n2 * qb.n2) AS sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN n qa ON qa.vec_id = a.vec_id
+  JOIN n qb ON qb.vec_id = b.vec_id
+) WHERE sim >= {_sim.NEAR_DUP_TAU}
+""",
         "sim_ivf_recall": base + f""",
 p AS (
   SELECT a.vec_id, b.vec_id AS nb_id,

@@ -144,6 +144,41 @@ def main() -> None:
                       "partial_max — a giant duplicate cluster collapses "
                       "per task, no single-task rank sort"]))
 
+    # --- repetition rules: pure aggregation, no window, map-side combine -
+    rq = QUERIES["text_repetition"](spark, SF)
+    rplan = fmt_plan(rq)
+    check("repetition no window", "Window" not in rplan,
+          "Gopher repetition rules must be per-doc aggregation, not a window")
+    check("repetition partial agg", rplan.count("HashAggregate") >= 2,
+          "(doc_id, ngram) counts must partial-combine map-side")
+    sections.append(("text_repetition", rplan,
+                     ["one shuffle keyed (doc_id, ngram) with map-side "
+                      "partial counts; no windows, per-doc keys → no skew"]))
+
+    # --- domain quota: salted two-phase top-k, phase-1 window is salted ---
+    dq = QUERIES["text_domain_quota"](spark, SF)
+    dplan = fmt_plan(dq)
+    n_windows = dplan.count("(") and len(re.findall(r"\(\d+\) Window\b", dplan))
+    check("domain quota two-phase", n_windows == 2,
+          f"{n_windows} Window nodes — must be the salted pre-prune window "
+          "plus the bounded final rank (≤ k·S rows per domain)")
+    check("domain quota salted", "pmod(hash(doc_id" in dplan,
+          "phase-1 window must partition by (source, pmod(hash(doc_id), S)) "
+          "so no task ever sorts a whole crawl domain")
+    sections.append(("text_domain_quota", dplan,
+                     ["phase 1 ranks within (source, salt) — each task sorts "
+                      "~1/S of a domain", "phase 2 ranks ≤ k·S survivors per "
+                      "source — bounded regardless of domain size"]))
+
+    # --- semantic near-dup: same-cell equi-join, never a cross join ------
+    sn = QUERIES["sim_semantic_near_dup"](spark, SF)
+    snplan = fmt_plan(sn)
+    check("semantic near-dup no cartesian", "CartesianProduct" not in snplan,
+          "SemDeDup candidate generation must equi-join on the IVF cell")
+    sections.append(("sim_semantic_near_dup", snplan,
+                     ["equi-join on cell bounds the per-cell block join; "
+                      "ids-only through the join, vectors re-attached once"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

@@ -181,3 +181,85 @@ def test_components_chain_clique_singleton(spark):
         10: (10, 1), 11: (10, 0), 12: (10, 0),
         20: (20, 1),
     }
+
+
+def test_repetition_stats_flags_crafted_docs(spark):
+    """Gopher rules on hand-computable docs: a one-phrase spam doc trips
+    both thresholds; a diverse doc passes; a half-duplicated doc trips only
+    the dup-word rule."""
+    from log_aggregator_spark.functions import text as ftext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # 1 distinct word
+            (2, "one two three four five six seven"),  # all distinct
+            (3, "a b c d a b c d"),                    # dup words, no dominant 2-gram? (a b) x2 of 7 grams
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ftext.repetition_stats(docs).collect()}
+    # doc 1: 5 bigrams all "spam spam" -> top=1000; dup = (6-1)/6 -> 833
+    assert got[1]["top_ngram_x1000"] == 1000
+    assert got[1]["dup_word_x1000"] == 833
+    assert got[1]["keep"] == 0
+    # doc 2: 6 distinct bigrams -> top=166; dup=0 -> keep
+    assert got[2]["top_ngram_x1000"] == 166
+    assert got[2]["dup_word_x1000"] == 0
+    assert got[2]["keep"] == 1
+    # doc 3: 7 bigrams, "a b"/"b c"/"c d" each x2 -> top=285 (<=200? no: 285>200)
+    # dup = (8-4)/8 = 500 > 300 -> dropped either way
+    assert got[3]["top_ngram_x1000"] == 285
+    assert got[3]["dup_word_x1000"] == 500
+    assert got[3]["keep"] == 0
+
+
+def test_domain_quota_two_phase_equals_direct_rank(spark):
+    """The salted two-phase top-k must equal a direct single-window rank on
+    a skewed domain distribution (one source = 80% of docs) — the pre-prune
+    loses nothing, it only bounds per-task sort input."""
+    from pyspark.sql import Window
+
+    from log_aggregator_spark.functions import text as ftext
+
+    rows = []
+    for i in range(500):
+        src = "big.com" if i < 400 else f"s{i % 5}.org"
+        rows.append((i, src, "w " * (1 + i % 37)))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
+        schema="doc_id long, source string, text string",
+    )
+    got = ftext.domain_quota(docs, k=7, salt_buckets=4)
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_words"), "doc_id")
+    direct = (
+        docs.select(
+            "doc_id", "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 7)
+        .select("source", "rank", "doc_id", "n_words")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+    # quota actually bites on the skewed domain
+    assert got.where(F.col("source") == "big.com").count() == 7
+
+
+def test_semantic_near_dup_is_same_cell_subset_of_brute(spark):
+    """semantic_near_dup = brute near-dup pairs whose two vectors share an
+    IVF cell: every returned pair is in the brute set with an identical
+    sim_x1m, and the set equals the same-cell filter of the brute set."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["sim_x1m"]
+        for r in fsim.semantic_near_dup(emb).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["sim_x1m"]
+        for r in fsim.cosine_near_dup(emb, allow_quadratic=True).collect()
+    }
+    cells = {r["vec_id"]: r["cell"] for r in fsim.ivf_assign(emb).collect()}
+    want = {p: s for p, s in brute.items() if cells[p[0]] == cells[p[1]]}
+    assert sem == want
+    assert set(sem) <= set(brute)
