@@ -311,6 +311,37 @@ def q_text_domain_quota(spark, sf_dir):
     return ftext.domain_quota(_docs(spark, sf_dir))
 
 
+def q_text_corpus_mix(spark, sf_dir):
+    return ftext.corpus_mix(_docs(spark, sf_dir))
+
+
+def q_dedup_span(spark, sf_dir):
+    return fdedup.span_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental crawl dedup over a deterministic batch/corpus split.
+    sf0.01 has no natural exact dups, so the batch synthesizes them the
+    way a rolling pipeline sees them (identically in the oracle SQL):
+    'echoes' = corpus docs re-crawled under new ids (doc_id+1e6, killed by
+    the anti-join) and 'resubmits' = in-batch duplicate submissions
+    (doc_id+2e6, collapsed by the intra-batch min pick)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    corpus = docs.where(nib < 13)
+    fresh = docs.where(nib >= 13)
+    echo = corpus.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    resub = fresh.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    batch = fresh.unionByName(echo).unionByName(resub)
+    return fdedup.incremental_exact(corpus, batch)
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the deterministic 3/16 hash-sample of
     docs plays the held-out benchmark; training docs sharing an 8-gram
@@ -504,6 +535,9 @@ QUERIES: dict[str, QueryFn] = {
     "sim_semantic_near_dup": q_sim_semantic_near_dup,
     "text_repetition": q_text_repetition,
     "text_domain_quota": q_text_domain_quota,
+    "text_corpus_mix": q_text_corpus_mix,
+    "dedup_span": q_dedup_span,
+    "dedup_incremental": q_dedup_incremental,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,

@@ -492,3 +492,116 @@ def survivors_by_quality(
             F.col("best.n_words").alias("survivor_n_words"),
         )
     )
+
+
+# --------------------------------------------- exact-substring (span) dedup
+
+
+SPAN_WORDS = 8
+
+
+def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
+    """Exact-substring dedup à la Lee et al. 2107.06499 ("Deduplicating
+    Training Data Makes Language Models Better" dedups 50-token substrings
+    with a suffix array), block-approximated for a shared-nothing engine:
+    the text is cut into NON-overlapping ``span_words``-word blocks and a
+    block whose exact text already occurs earlier in the corpus (global
+    first occurrence = lexicographic min (doc_id, idx)) is dropped from the
+    document; the trailing partial block never participates. The rebuilt
+    document is returned as an md5 so downstream gates compare a scalar.
+
+    Scale shape: block instances shuffle ONCE keyed by block content with a
+    map-combinable ``min(struct(doc_id, idx))`` — a boilerplate block
+    repeated 10^9 times collapses to one row per map task before the
+    exchange (the same skew defuser as the survivor pick). The winner table
+    then equi-joins back (ids only) and the rebuild is a bounded per-doc
+    ``sort_array(collect_list)`` — a document has at most
+    ``len(text)/span_words`` blocks, so no task ever sorts more than one
+    document's blocks.
+    (doc_id, n_spans, n_dropped, dedup_md5)."""
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_blocks = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
+    )
+    inst = documents.select(
+        "doc_id",
+        F.size(w).alias("nw"),
+        F.posexplode(blocks).alias("idx", "block"),
+    ).withColumn(
+        # only full-width blocks are dedup candidates (Lee et al. fixed
+        # substring length); the tail stub is always kept
+        "full", ((F.col("idx") + 1) * span_words <= F.col("nw")),
+    )
+    winners = (
+        inst.where("full")
+        .groupBy("block")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("first"))
+        .select(
+            "block",
+            F.col("first.doc_id").alias("w_doc"),
+            F.col("first.idx").alias("w_idx"),
+        )
+    )
+    kept = inst.join(winners, "block", "left").where(
+        (~F.col("full"))
+        | ((F.col("doc_id") == F.col("w_doc")) & (F.col("idx") == F.col("w_idx")))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "block"))),
+                    lambda s: s["block"],
+                ),
+            )
+        ).alias("dedup_md5"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.ceil(F.size(w) / F.lit(span_words)).cast("long").alias("n_spans"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("dedup_md5"), F.md5(F.lit(""))).alias("dedup_md5"),
+    )
+
+
+# ------------------------------------------------- incremental batch dedup
+
+
+def incremental_exact(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental crawl dedup: which docs of a NEW batch survive exact
+    dedup against the already-ingested corpus? A batch doc survives iff its
+    normalized-content fingerprint is absent from the corpus AND it is the
+    canonical (min doc_id) holder of that fingerprint within the batch.
+    This is the production shape of ``exact_groups`` for a rolling
+    pipeline: the corpus fingerprints are a stored table; each ingest run
+    anti-joins the new batch against it, appends the survivors, and never
+    re-reads old text.
+
+    Scale shape: LEFT ANTI join on the fingerprint (Spark builds on the
+    batch side under AQE when the batch is the small side — the common
+    case; 100 TB corpus vs a daily crawl), then one map-combinable
+    ``min``/``count`` per fingerprint for the intra-batch pick. Text never
+    crosses the shuffle — fingerprints only.
+    (doc_id, fp, n_batch_dups)."""
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    cfp = corpus.select(fp.alias("fp"))
+    bfp = batch.select(fp.alias("fp"), "doc_id")
+    fresh = bfp.join(cfp, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_batch_dups"),
+        )
+        .select("doc_id", "fp", "n_batch_dups")
+    )

@@ -331,3 +331,49 @@ def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
     ).cast("int")
     return documents.select("doc_id", "source").where(nib < keep_16ths)
+
+
+# --------------------------------------------------------- corpus mixing
+
+
+def corpus_mix(
+    documents: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Weighted corpus mixing: per-source target sampling rates (the
+    mixture-weights step of C4/Pile/RefinedWeb-style corpus assembly —
+    ``sample_stratified`` is the uniform special case). ``weights`` maps
+    source → keep_16ths (0..16); unlisted sources get a deterministic
+    default derived from md5(source)'s first nibble (nibble%8 + 1 → 1/16 …
+    8/16), so the op is total over any source set without config. A doc is
+    kept iff the first hex nibble of md5(doc_id) < its source's rate —
+    content-hash, never ``rand()``: reproducible across engines, retries
+    and runs. Returns the per-source mixing report
+    (source, rate_16ths, n_total, n_kept).
+
+    Scale shape: one narrow projection (md5 + nibble compare, codegen'd),
+    one partial-agg groupBy(source) — sources are few, rows collapse
+    map-side; the weights dict rides the plan as a literal CASE, no join.
+    """
+    nib_src = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 1), 16, 10).cast("int")
+        % 8
+        + 1
+    )
+    rate = nib_src
+    for src, r in sorted((weights or {}).items()):
+        rate = F.when(F.col("source") == src, F.lit(int(r))).otherwise(rate)
+    nib_doc = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    return (
+        documents.select(
+            "source",
+            rate.cast("long").alias("rate_16ths"),
+            (nib_doc < rate).cast("long").alias("kept"),
+        )
+        .groupBy("source", "rate_16ths")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )

@@ -178,6 +178,7 @@ PIPELINE_SQL["pipeline_resume"] = PIPELINE_SQL["pipeline_reassemble"]
 # bit/nibble arithmetic so the SQL cannot drift from the Spark expressions.
 
 from .functions.dedup import DF_CAP  # noqa: E402
+from .functions.dedup import SPAN_WORDS as _SPAN_W  # noqa: E402
 from .functions.text import (  # noqa: E402
     DECON_NGRAM as _DECON_N,
     DOMAIN_QUOTA_K,
@@ -558,6 +559,91 @@ FROM (
                             ORDER BY n_words DESC, doc_id) AS rank
   FROM qn
 ) WHERE rank <= {DOMAIN_QUOTA_K}
+""",
+        # weighted corpus mixing — mirrors text.corpus_mix default policy
+        "text_corpus_mix": """
+WITH base AS (
+  SELECT source,
+         (strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 8 + 1
+           AS rate_16ths,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   < (strpos('0123456789abcdef',
+                             substr(md5(source), 1, 1)) - 1) % 8 + 1
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, CAST(rate_16ths AS BIGINT) AS rate_16ths,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM base GROUP BY source, rate_16ths
+""",
+        # block exact-substring dedup — mirrors dedup.span_dedup (k=8)
+        "dedup_span": f"""
+WITH lw AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, len(words) AS nw, i AS idx,
+         array_to_string(words[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ')
+           AS block
+  FROM (SELECT doc_id, words,
+               unnest(range(0, CAST(ceil(len(words)/{_SPAN_W}.0) AS BIGINT)))
+                 AS i
+        FROM lw)
+),
+flagged AS (
+  SELECT *, ((idx + 1) * {_SPAN_W} <= nw) AS is_full FROM inst
+),
+win AS (
+  SELECT block, doc_id AS w_doc, idx AS w_idx
+  FROM (SELECT block, doc_id, idx,
+               row_number() OVER (PARTITION BY block
+                                  ORDER BY doc_id, idx) AS rn
+        FROM flagged WHERE is_full)
+  WHERE rn = 1
+),
+kept AS (
+  SELECT f.doc_id, f.idx, f.block
+  FROM flagged f LEFT JOIN win w USING (block)
+  WHERE NOT f.is_full OR (f.doc_id = w.w_doc AND f.idx = w.w_idx)
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(block, ' ' ORDER BY idx)) AS dedup_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(ceil(len(l.words)/{_SPAN_W}.0) AS BIGINT) AS n_spans,
+       CAST(ceil(len(l.words)/{_SPAN_W}.0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(r.dedup_md5, md5('')) AS dedup_md5
+FROM lw l LEFT JOIN reb r USING (doc_id)
+""",
+        # incremental batch-vs-corpus dedup — mirrors
+        # entry_queries.q_dedup_incremental's deterministic split + echoes
+        "dedup_incremental": """
+WITH d AS (
+  SELECT doc_id, text,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+  FROM documents
+),
+corpus AS (SELECT doc_id, text FROM d WHERE nib < 13),
+fresh  AS (SELECT doc_id, text FROM d WHERE nib >= 13),
+batch AS (
+  SELECT doc_id, text FROM fresh
+  UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM fresh  WHERE doc_id % 5 = 0
+),
+cfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM corpus),
+bfp AS (SELECT md5(lower(trim(text))) AS fp, doc_id FROM batch)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp,
+       CAST(count(*) AS BIGINT) AS n_batch_dups
+FROM bfp b
+WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = b.fp)
+GROUP BY fp
 """,
     }
 

@@ -179,6 +179,40 @@ def main() -> None:
                      ["equi-join on cell bounds the per-cell block join; "
                       "ids-only through the join, vectors re-attached once"]))
 
+    # --- span dedup: map-combinable winner pick, no cartesian ------------
+    sp = QUERIES["dedup_span"](spark, SF)
+    spplan = fmt_plan(sp)
+    check("span dedup partial min", "partial_min" in spplan,
+          "block winner pick must map-side combine (a boilerplate block "
+          "repeated 10^9 times collapses to one row per task pre-shuffle)")
+    check("span dedup no cartesian", "CartesianProduct" not in spplan,
+          "winner re-join must be an equi-join on block")
+    sections.append(("dedup_span", spplan,
+                     ["min(struct(doc_id, idx)) partial-aggregates before "
+                      "the block-key exchange; winners equi-join back"]))
+
+    # --- incremental dedup: anti-join on fingerprints, text never shuffles
+    iq = QUERIES["dedup_incremental"](spark, SF)
+    iplan = fmt_plan(iq)
+    check("incremental anti-join", "LeftAnti" in iplan,
+          "corpus membership must be a LEFT ANTI join on the fingerprint")
+    check("incremental fp-only shuffle", "text" not in iplan.split("Exchange")[1][:400]
+          if "Exchange" in iplan else True,
+          "raw text must not cross the anti-join shuffle — fingerprints only")
+    sections.append(("dedup_incremental", iplan,
+                     ["LEFT ANTI on md5 fingerprint; min/count partial-agg "
+                      "for the intra-batch pick"]))
+
+    # --- corpus mix: literal CASE policy — no join anywhere --------------
+    cq = QUERIES["text_corpus_mix"](spark, SF)
+    cqplan = fmt_plan(cq)
+    check("corpus mix joinless", "Join" not in cqplan,
+          "the weights policy must ride the plan as a literal CASE, not a "
+          "config-table join")
+    sections.append(("text_corpus_mix", cqplan,
+                     ["narrow projection + partial-agg groupBy(source) — "
+                      "no join, no window"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

@@ -263,3 +263,89 @@ def test_semantic_near_dup_is_same_cell_subset_of_brute(spark):
     want = {p: s for p, s in brute.items() if cells[p[0]] == cells[p[1]]}
     assert sem == want
     assert set(sem) <= set(brute)
+
+
+def test_span_dedup_drops_repeated_blocks_keeps_tail(spark):
+    """8-word blocks: doc 2 repeats doc 1's first block -> dropped from
+    doc 2; a tail stub textually equal to a full block is never dropped."""
+    from log_aggregator_spark.functions import dedup as fd
+
+    b1 = "w1 w2 w3 w4 w5 w6 w7 w8"          # one full block
+    b2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{b1} {b2}"),       # doc 1: two full blocks, both first
+            (2, f"{b1} tail words"), # doc 2: block b1 (dup) + 2-word tail
+            (3, b1[:11]),            # doc 3: "w1 w2 w3 w4"[:11]="w1 w2 w3 w4"? tail-only doc
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in fd.span_dedup(docs).collect()}
+    assert got[1]["n_spans"] == 2 and got[1]["n_dropped"] == 0
+    # doc 2: full block b1 lost to doc 1; tail kept
+    assert got[2]["n_spans"] == 2 and got[2]["n_dropped"] == 1
+    import hashlib
+    assert got[2]["dedup_md5"] == hashlib.md5(b"tail words").hexdigest()
+    # doc 3 is all tail (fewer than 8 words): untouched
+    assert got[3]["n_dropped"] == 0
+
+
+def test_span_dedup_first_occurrence_is_lexicographic_min(spark):
+    """The survivor of a repeated block is min (doc_id, idx) — within one
+    doc the earliest index wins, across docs the lowest doc_id."""
+    from log_aggregator_spark.functions import dedup as fd
+
+    blk = "a1 a2 a3 a4 a5 a6 a7 a8"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8"
+    docs = spark.createDataFrame(
+        [(5, f"{other} {blk}"), (9, f"{blk} {other}")],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in fd.span_dedup(docs).collect()}
+    # doc 5 holds both blocks first (doc_id 5 < 9) -> doc 9 loses both
+    assert got[5]["n_dropped"] == 0
+    assert got[9]["n_dropped"] == 2
+    import hashlib
+    assert got[9]["dedup_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_incremental_exact_anti_join_and_intra_batch_pick(spark):
+    """Echo of a corpus doc dies in the anti-join; intra-batch dups
+    collapse to the min doc_id with the dup count; unique fresh docs
+    survive with count 1."""
+    from log_aggregator_spark.functions import dedup as fd
+
+    corpus = spark.createDataFrame(
+        [(1, "old news"), (2, "stale text")], schema="doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Old News "),   # normalizes to corpus fp -> killed
+            (11, "fresh alpha"),
+            (12, "fresh alpha"), # intra-batch dup of 11
+            (13, "fresh beta"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_batch_dups"]
+           for r in fd.incremental_exact(corpus, batch).collect()}
+    assert got == {11: 2, 13: 1}
+
+
+def test_corpus_mix_weights_override_and_determinism(spark):
+    """Explicit weights pin the rate (0 -> nothing kept, 16 -> all kept);
+    two runs agree row-for-row (content-hash, no rand())."""
+    from log_aggregator_spark.functions import text as ft
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = ft.corpus_mix(docs, weights={"src0": 16, "src1": 0})
+    rows = {r["source"]: r for r in m.collect()}
+    assert rows["src0"]["n_kept"] == rows["src0"]["n_total"]
+    assert rows["src1"]["n_kept"] == 0
+    again = {r["source"]: r for r in ft.corpus_mix(
+        docs, weights={"src0": 16, "src1": 0}).collect()}
+    assert {s: tuple(r) for s, r in rows.items()} == \
+           {s: tuple(r) for s, r in again.items()}
+    # default policy: every rate within 1..8 of 16
+    for r in ft.corpus_mix(docs).collect():
+        assert 1 <= r["rate_16ths"] <= 8
