@@ -474,6 +474,14 @@ def q_ev_spikes(spark, sf_dir):
     return fev.hourly_spikes(_events(spark, sf_dir))
 
 
+def q_ev_asof_enrich(spark, sf_dir):
+    return fev.asof_enrich(_events(spark, sf_dir))
+
+
+def q_ev_retention(spark, sf_dir):
+    return fev.retention(_events(spark, sf_dir))
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -550,6 +558,8 @@ QUERIES: dict[str, QueryFn] = {
     "ev_percentiles_approx": q_ev_percentiles_approx,
     "ev_windowed_topk": q_ev_windowed_topk,
     "ev_spikes": q_ev_spikes,
+    "ev_asof_enrich": q_ev_asof_enrich,
+    "ev_retention": q_ev_retention,
     "text_ngram_counts": q_text_ngram_counts,
     "mm_format_stats": q_mm_format_stats,
 }

@@ -231,6 +231,92 @@ def hourly_spikes(events: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def asof_enrich(events: DataFrame) -> DataFrame:
+    """As-of join, the time-series enrichment Spark has no built-in for:
+    attach to every ``error`` event the user's most recent strictly-prior
+    ``click`` (state-at-time-of-event — last config change, last page
+    interaction before the failure). Expressed as ONE pass: events are
+    their own anchor stream, and ``last(click_value, ignorenulls)`` over
+    ``rowsBetween(unboundedPreceding, -1)`` ordered by (ts, event_id)
+    resolves "latest anchor before me" without any join. Strictness and
+    tie-breaks are total: the (ts, event_id) order makes the result
+    deterministic even under equal timestamps.
+    (event_id, user_id, err_epoch, click_epoch, click_value_x100, lag_sec;
+    -1 sentinels when the user has no prior click).
+
+    Scale shape: one shuffle on user_id (high-cardinality, unskewed — the
+    same per-key discipline as ``sessionize``), per-user sort, no join at
+    all — contrast the naive range-join formulation, which explodes to
+    |errors|·|clicks| per user before taking the max. At 10^12 events this
+    is a single Exchange + Sort + Window, all codegen'd."""
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    click_sec = F.last(F.when(is_click, sec), ignorenulls=True).over(w)
+    click_val = F.last(
+        F.when(is_click, F.round(F.col("value") * 100, 0).cast("long")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            click_sec.alias("_csec"),
+            click_val.alias("_cval"),
+        )
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(sec).cast("long").alias("err_epoch"),
+            F.coalesce(F.floor("_csec"), F.lit(-1)).cast("long").alias("click_epoch"),
+            F.coalesce(F.col("_cval"), F.lit(-1)).cast("long").alias("click_value_x100"),
+            F.coalesce(F.floor(sec - F.col("_csec")), F.lit(-1))
+            .cast("long")
+            .alias("lag_sec"),
+        )
+    )
+
+
+def retention(events: DataFrame) -> DataFrame:
+    """Day-over-day user retention: of the users active on day d, how many
+    are also active on day d+1? The cohort question every telemetry stack
+    answers.
+    (day_epoch, n_active, n_retained, retained_permille).
+
+    Scale shape: distinct (user, day) is one partial-agg shuffle; the
+    "active tomorrow?" flag is ``lead(day)`` over the user timeline — a
+    second shuffle on user_id, no self-join (the textbook formulation
+    joins daily-actives to itself on day+1, shuffling the table twice and
+    building a join hash; lead gets the same bit for a sort). The final
+    per-day rollup is partial-agg over ~day-cardinality groups."""
+    daily = events.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_epoch")
+    flagged = daily.withColumn(
+        "retained",
+        (F.lead("day_epoch").over(w) == F.col("day_epoch") + 86400)
+        .cast("long"),
+    )
+    return flagged.groupBy("day_epoch").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.coalesce(F.sum("retained"), F.lit(0)).cast("long").alias("n_retained"),
+        F.floor(
+            F.coalesce(F.sum("retained"), F.lit(0)) * 1000 / F.count("*")
+        )
+        .cast("long")
+        .alias("retained_permille"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

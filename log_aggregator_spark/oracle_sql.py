@@ -1056,6 +1056,48 @@ FROM (
   )
 ) WHERE rank <= 3
 """,
+    # as-of enrichment — mirrors events.asof_enrich (window formulation,
+    # same (ts, event_id) total order and strict 1-PRECEDING frame)
+    "ev_asof_enrich": """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS sec,
+         last_value(CASE WHEN event_type = 'click' THEN epoch(ts) END
+                    IGNORE NULLS) OVER w AS csec,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT) END
+                    IGNORE NULLS) OVER w AS cval
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CAST(floor(sec) AS BIGINT) AS err_epoch,
+       CAST(coalesce(floor(csec), -1) AS BIGINT) AS click_epoch,
+       CAST(coalesce(cval, -1) AS BIGINT) AS click_value_x100,
+       CAST(coalesce(floor(sec - csec), -1) AS BIGINT) AS lag_sec
+FROM seq WHERE event_type = 'error'
+""",
+    # day-over-day retention — mirrors events.retention (lead, no self-join)
+    "ev_retention": """
+WITH daily AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+         user_id
+  FROM events
+),
+flagged AS (
+  SELECT day_epoch,
+         CASE WHEN lead(day_epoch) OVER (PARTITION BY user_id
+                                         ORDER BY day_epoch)
+                   = day_epoch + 86400 THEN 1 ELSE 0 END AS retained
+  FROM daily
+)
+SELECT day_epoch, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(retained) AS BIGINT) AS n_retained,
+       CAST(floor(sum(retained) * 1000.0 / count(*)) AS BIGINT)
+         AS retained_permille
+FROM flagged GROUP BY 1
+""",
 }
 
 MM_SQL: dict[str, str] = {

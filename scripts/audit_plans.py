@@ -213,6 +213,28 @@ def main() -> None:
                      ["narrow projection + partial-agg groupBy(source) — "
                       "no join, no window"]))
 
+    # --- as-of enrich: one window pass, no join, no range explosion ------
+    aq = QUERIES["ev_asof_enrich"](spark, SF)
+    aplan = fmt_plan(aq)
+    check("asof joinless", "Join" not in aplan,
+          "as-of must be the single-pass window form — the range-join "
+          "formulation explodes |errors|x|clicks| per user")
+    check("asof single exchange", aplan.count(") Exchange") == 1,
+          "one shuffle on user_id, then sort+window+filter in-task")
+    sections.append(("ev_asof_enrich", aplan,
+                     ["last(click, ignorenulls) over rows(-inf, -1) on the "
+                      "(ts, event_id) order; one Exchange, zero joins"]))
+
+    # --- retention: lead over user timeline, no self-join ----------------
+    rq = QUERIES["ev_retention"](spark, SF)
+    rplan = fmt_plan(rq)
+    check("retention no self-join", "Join" not in rplan,
+          "day-over-day retention must come from lead(day) over the user "
+          "timeline, not a daily-actives self-join")
+    sections.append(("ev_retention", rplan,
+                     ["distinct (user, day) partial-agg; lead window on "
+                      "user_id; per-day rollup partial-agg"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

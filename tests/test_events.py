@@ -1,0 +1,95 @@
+"""Edge semantics for the event-analytics operators that rely on window
+total order (the oracle-parity test covers the bulk behaviour at sf0.01;
+these pin the corner cases a hash compare can silently agree on only by
+luck: strictness of the as-of frame, sentinel rows, retention gaps)."""
+from __future__ import annotations
+
+from datetime import datetime
+
+from log_aggregator_spark.functions import events as fev
+
+
+def _ev(spark, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)."""
+    data = [
+        (i, datetime.fromisoformat(ts), u, t, v, "{}")
+        for i, ts, u, t, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+def test_asof_enrich_strictly_prior_click_latest_wins(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.00),
+            (2, "2024-01-01 10:05:00", 7, "click", 2.00),
+            (3, "2024-01-01 10:10:00", 7, "error", 9.99),
+            (4, "2024-01-01 10:20:00", 7, "error", 9.99),
+        ],
+    )
+    got = {r["event_id"]: r for r in fev.asof_enrich(ev).collect()}
+    # both errors see the LATEST prior click (id 2), not the first
+    assert got[3]["click_value_x100"] == 200
+    assert got[3]["lag_sec"] == 300
+    assert got[4]["click_value_x100"] == 200
+    assert got[4]["lag_sec"] == 900
+
+
+def test_asof_enrich_no_prior_click_gets_sentinels(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "error", 9.99),
+            (2, "2024-01-01 10:05:00", 7, "click", 3.00),
+            (3, "2024-01-01 10:06:00", 8, "view", 0.50),
+            (4, "2024-01-01 10:07:00", 8, "error", 9.99),
+        ],
+    )
+    got = {r["event_id"]: r for r in fev.asof_enrich(ev).collect()}
+    # error before any click, and a user whose history has no click at all
+    for eid in (1, 4):
+        assert got[eid]["click_epoch"] == -1
+        assert got[eid]["click_value_x100"] == -1
+        assert got[eid]["lag_sec"] == -1
+
+
+def test_asof_enrich_same_timestamp_is_strict_by_event_id(spark):
+    """A click sharing the error's exact timestamp counts only when its
+    event_id orders BEFORE the error — the (ts, event_id) total order."""
+    ev = _ev(
+        spark,
+        [
+            (5, "2024-01-01 10:00:00", 7, "click", 4.00),
+            (6, "2024-01-01 10:00:00", 7, "error", 9.99),
+            (8, "2024-01-01 11:00:00", 9, "error", 9.99),
+            (9, "2024-01-01 11:00:00", 9, "click", 5.00),
+        ],
+    )
+    got = {r["event_id"]: r for r in fev.asof_enrich(ev).collect()}
+    assert got[6]["click_value_x100"] == 400 and got[6]["lag_sec"] == 0
+    assert got[8]["click_value_x100"] == -1  # click id 9 orders after
+
+
+def test_retention_gap_breaks_streak_and_permille(spark):
+    d1, d2, d3 = "2024-01-01", "2024-01-02", "2024-01-03"
+    rows, eid = [], 0
+    # user 1: active d1,d2 (retained on d1); user 2: d1,d3 (gap — NOT
+    # retained on d1); user 3: d1 only; user 4: d2,d3
+    for u, days in [(1, (d1, d2)), (2, (d1, d3)), (3, (d1,)), (4, (d2, d3))]:
+        for d in days:
+            rows.append((eid, f"{d} 12:00:00", u, "view", 1.0))
+            rows.append((eid + 1, f"{d} 13:00:00", u, "view", 1.0))  # dup day
+            eid += 2
+    got = {r["day_epoch"]: r for r in fev.retention(_ev(spark, rows)).collect()}
+    e1 = int(datetime.fromisoformat(f"{d1} 00:00:00").timestamp())
+    assert got[e1]["n_active"] == 3 and got[e1]["n_retained"] == 1
+    assert got[e1]["retained_permille"] == 333
+    e2 = e1 + 86400
+    assert got[e2]["n_active"] == 2 and got[e2]["n_retained"] == 1
+    e3 = e2 + 86400
+    assert got[e3]["n_active"] == 2 and got[e3]["n_retained"] == 0
