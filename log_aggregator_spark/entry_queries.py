@@ -315,6 +315,14 @@ def q_text_corpus_mix(spark, sf_dir):
     return ftext.corpus_mix(_docs(spark, sf_dir))
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    return ftext.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_text_tfidf(spark, sf_dir):
+    return ftext.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_dedup_span(spark, sf_dir):
     return fdedup.span_dedup(_docs(spark, sf_dir))
 
@@ -544,6 +552,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_repetition": q_text_repetition,
     "text_domain_quota": q_text_domain_quota,
     "text_corpus_mix": q_text_corpus_mix,
+    "text_pack_sequences": q_text_pack_sequences,
+    "text_tfidf": q_text_tfidf,
     "dedup_span": q_dedup_span,
     "dedup_incremental": q_dedup_incremental,
     "mm_media_meta": q_mm_media_meta,

@@ -333,6 +333,121 @@ def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     return documents.select("doc_id", "source").where(nib < keep_16ths)
 
 
+# ------------------------------------------------------ sequence packing
+
+
+PACK_CTX = 2048
+PACK_BUCKETS = 16
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx_tokens: int = PACK_CTX,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Sequence packing — the concat-then-chunk step that turns a document
+    corpus into fixed-length training sequences (GPT-2/T5 style: documents
+    are concatenated in a deterministic order and the stream is cut every
+    ``ctx_tokens`` tokens, so a document may straddle a boundary). Emits
+    the pack manifest: which context window each document starts in and at
+    what offset. (doc_id, bucket, pack_id, offset_in_pack, n_tok).
+
+    A single global concatenation order would be a global sort, so packing
+    is per-bucket, the way a sharded tokenizer run does it: docs hash into
+    ``buckets`` deterministic shards (first md5 nibble — same house hash
+    as sampling/mixing) and the cumulative-token window runs within the
+    shard. Scale shape: one Exchange on the bucket key, one in-task sort
+    by doc_id, one running-sum window — per-task work is corpus/buckets;
+    at 100 TB set ``buckets`` ≈ the executor-core count × a small factor
+    (the knob trades pack-boundary waste against parallelism, exactly the
+    shard-count knob of a real tokenizer fleet)."""
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    bucket = (nib % buckets).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    cum_prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    # integer div, not floor(double /): the cumulative token count of a
+    # 100 TB shard can pass 2^53, where double division starts rounding
+    return sized.select(
+        "doc_id", "bucket", cum_prev.alias("cum_prev"), "n_tok"
+    ).select(
+        "doc_id",
+        "bucket",
+        F.expr(f"cum_prev div {int(ctx_tokens)}L").cast("long").alias("pack_id"),
+        (F.col("cum_prev") % ctx_tokens).cast("long").alias("offset_in_pack"),
+        "n_tok",
+    )
+
+
+# ----------------------------------------------------- tf-idf top terms
+
+
+TFIDF_TOPK = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Top-k most characteristic terms per document, ranked by an
+    exact-integer tf-idf surrogate: ``score = tf · SCALE · N div df``
+    (term frequency × inverse document frequency with N/df kept as a
+    scaled integer ratio instead of a log — the RANKING is what matters,
+    and integer math keeps both engines hash-identical where float ``ln``
+    ulp differences could flip a floor). Stopwords rank themselves out:
+    df ≈ N drives the ratio to ~SCALE. At N ≳ 10^10 docs the bigint
+    product needs SCALE dropped to 10^3 or a decimal column — noted here
+    because the test-scale constant is not the 100 TB constant.
+    (doc_id, rank, term, tf, df, score).
+
+    Scale shape: two partial-agg shuffles (per-(doc,term) tf, per-term
+    df), a broadcast of the per-term df table? No — df rides back via an
+    equi-join on term (the term table is Zipf-heavy but the join key is
+    (term), post-aggregation: one row per term, no skew amplification);
+    corpus size N joins in as a broadcast single-row aggregate. The final
+    top-k window partitions by doc_id — bounded by a document's distinct
+    terms, never the corpus."""
+    SCALE = 1_000_000
+    terms = documents.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_tbl = documents.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"(tf * {SCALE}L * n_docs) div df").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
 # --------------------------------------------------------- corpus mixing
 
 

@@ -184,10 +184,13 @@ from .functions.text import (  # noqa: E402
     DOMAIN_QUOTA_K,
     EMAIL_RE,
     LANG_PROFILES,
+    PACK_BUCKETS,
+    PACK_CTX,
     PHONE_RE,
     REP_MAX_DUPW_X1000,
     REP_MAX_TOP2_X1000,
     STOPWORDS,
+    TFIDF_TOPK,
     VOCAB_TOPN,
 )
 
@@ -577,6 +580,55 @@ SELECT source, CAST(rate_16ths AS BIGINT) AS rate_16ths,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(kept) AS BIGINT) AS n_kept
 FROM base GROUP BY source, rate_16ths
+""",
+        # sequence packing — mirrors text.pack_sequences (per-bucket
+        # running token sum, integer div/mod cut points)
+        "text_pack_sequences": f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              % {PACK_BUCKETS} AS BIGINT) AS bucket,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, bucket, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev
+  FROM sized
+)
+SELECT doc_id, bucket,
+       CAST(cum_prev // {PACK_CTX} AS BIGINT) AS pack_id,
+       CAST(cum_prev % {PACK_CTX} AS BIGINT) AS offset_in_pack, n_tok
+FROM cum
+""",
+        # tf-idf top terms — mirrors text.tfidf_top_terms (integer score)
+        "text_tfidf": f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST((t.tf * 1000000 * n.n_docs) // d.df AS BIGINT) AS score
+  FROM tf t JOIN dfx d USING (term), n
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOPK}
 """,
         # block exact-substring dedup — mirrors dedup.span_dedup (k=8)
         "dedup_span": f"""

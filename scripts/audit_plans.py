@@ -213,6 +213,30 @@ def main() -> None:
                      ["narrow projection + partial-agg groupBy(source) — "
                       "no join, no window"]))
 
+    # --- sequence packing: one bucket shuffle, in-task running sum -------
+    pq = QUERIES["text_pack_sequences"](spark, SF)
+    pplan = fmt_plan(pq)
+    check("pack single exchange", pplan.count(") Exchange") == 1,
+          "one shuffle on the bucket key; cut points come from an in-task "
+          "sort + running-sum window, never a global sort")
+    check("pack joinless", "Join" not in pplan,
+          "the pack manifest is a projection of the running sum — no join")
+    sections.append(("text_pack_sequences", pplan,
+                     ["Exchange(bucket) → Sort(doc_id) → running-sum "
+                      "Window → integer div/mod projection"]))
+
+    # --- tf-idf: equi-joins only; corpus size rides in as a broadcast ----
+    tq = QUERIES["text_tfidf"](spark, SF)
+    tplan = fmt_plan(tq)
+    check("tfidf no cartesian", "CartesianProduct" not in tplan,
+          "df re-join must be an equi-join on term; N joins as a "
+          "broadcast single-row aggregate")
+    check("tfidf broadcast corpus size", "BroadcastNestedLoopJoin" in tplan,
+          "the 1-row n_docs aggregate must broadcast, not shuffle")
+    sections.append(("text_tfidf", tplan,
+                     ["partial-agg tf and df; term equi-join; 1-row "
+                      "broadcast for N; per-doc bounded top-k window"]))
+
     # --- as-of enrich: one window pass, no join, no range explosion ------
     aq = QUERIES["ev_asof_enrich"](spark, SF)
     aplan = fmt_plan(aq)

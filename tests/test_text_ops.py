@@ -1,0 +1,77 @@
+"""Unit semantics for sequence packing and tf-idf top terms (oracle
+parity at sf0.01 covers the bulk; these pin the cut-point math and the
+rarity ranking on corpora small enough to check by hand)."""
+from __future__ import annotations
+
+from log_aggregator_spark.functions import text as ft
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in rows],
+        schema="doc_id long, text string, lang string, source string",
+    )
+
+
+def test_pack_sequences_cut_points_single_bucket(spark):
+    # 4 docs x 4 tokens, ctx=10, one bucket: cumulative starts 0,4,8,12
+    docs = _docs(spark, [(i, "a b c d") for i in range(4)])
+    got = {r["doc_id"]: r for r in
+           ft.pack_sequences(docs, ctx_tokens=10, buckets=1).collect()}
+    assert all(r["bucket"] == 0 for r in got.values())
+    assert (got[0]["pack_id"], got[0]["offset_in_pack"]) == (0, 0)
+    assert (got[1]["pack_id"], got[1]["offset_in_pack"]) == (0, 4)
+    # doc 2 STARTS inside pack 0 (offset 8) and straddles into pack 1 —
+    # concat-then-chunk semantics: the manifest records the start point
+    assert (got[2]["pack_id"], got[2]["offset_in_pack"]) == (0, 8)
+    assert (got[3]["pack_id"], got[3]["offset_in_pack"]) == (1, 2)
+
+
+def test_pack_sequences_buckets_partition_independently(spark):
+    docs = _docs(spark, [(i, "t1 t2 t3") for i in range(64)])
+    rows = ft.pack_sequences(docs, ctx_tokens=7, buckets=4).collect()
+    assert {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    # within every bucket the offsets replay the same running sum mod ctx
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["pack_id"] == cum // 7
+            assert r["offset_in_pack"] == cum % 7
+            cum += r["n_tok"]
+
+
+def test_tfidf_rare_term_outranks_stopword(spark):
+    # 'the' appears in every doc (df=4), 'zephyr' only in doc 0 (df=1):
+    # same tf, but the rarity ratio puts zephyr first
+    docs = _docs(
+        spark,
+        [
+            (0, "the zephyr the zephyr"),
+            (1, "the cat"),
+            (2, "the dog"),
+            (3, "the owl"),
+        ],
+    )
+    got = {(r["doc_id"], r["rank"]): r for r in
+           ft.tfidf_top_terms(docs, k=2).collect()}
+    top0 = got[(0, 1)]
+    assert top0["term"] == "zephyr"
+    # exact integer score: tf(2) * 1e6 * N(4) div df(1)
+    assert top0["score"] == 2 * 1_000_000 * 4
+    assert got[(0, 2)]["term"] == "the"
+    assert got[(0, 2)]["score"] == 2 * 1_000_000 * 4 // 4
+
+
+def test_tfidf_tie_breaks_lexicographic_and_caps_k(spark):
+    docs = _docs(spark, [(0, "b a c"), (1, "x y")])
+    rows = [r for r in ft.tfidf_top_terms(docs, k=2).collect()
+            if r["doc_id"] == 0]
+    # all three terms tie (tf=1, df=1) — lexicographic order, capped at 2
+    assert [(r["rank"], r["term"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        (1, "a"),
+        (2, "b"),
+    ]
