@@ -350,6 +350,26 @@ def q_dedup_incremental(spark, sf_dir):
     return fdedup.incremental_exact(corpus, batch)
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Near-dup incremental dedup: the nib<13 majority plays the stored
+    corpus LSH index, the nib>=13 minority is the incoming batch. Band
+    keys come from ONE hashing of the universe (memoized shingle seam) —
+    exactly the invariant the production shape relies on: index rows and
+    probe rows share the hash recipe."""
+    keys = fdedup.minhash_band_keys(
+        fdedup.minhash_signatures(
+            _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+        )
+    )
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    index_keys = keys.where(nib < 13)
+    batch_keys = keys.where(nib >= 13)
+    batch_ids = _docs(spark, sf_dir).where(nib >= 13).select("doc_id")
+    return fdedup.incremental_near_lsh(index_keys, batch_keys, batch_ids)
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the deterministic 3/16 hash-sample of
     docs plays the held-out benchmark; training docs sharing an 8-gram
@@ -556,6 +576,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf": q_text_tfidf,
     "dedup_span": q_dedup_span,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "mm_media_meta": q_mm_media_meta,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,

@@ -574,6 +574,42 @@ def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
     )
 
 
+def incremental_near_lsh(
+    index_keys: DataFrame, batch_keys: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """Incremental NEAR-dup dedup against a stored LSH index — the
+    companion of ``incremental_exact`` for the MinHash family: the corpus'
+    band keys (``minhash_band_keys`` output, (doc_id, band, key)) are a
+    persistent table built once; each ingest run hashes only the NEW batch
+    with the same recipe and probes the index. A batch doc with any band
+    collision is a near-dup suspect (LSH's recall-first contract — route
+    to pair verification or drop, per policy); zero collisions = survivor.
+    (doc_id, n_corpus_hits, survives).
+
+    Scale shape: the probe is an ids-only equi-join on (band, key) —
+    24-byte rows, never text or signatures; hot buckets are pre-bounded by
+    the df-cap upstream of the signatures. ``countDistinct`` partial-
+    aggregates per batch doc. The index table is append-only and can be
+    bucketed by (band, key), so the daily probe shuffles ONLY the batch
+    side (sort-merge against bucketed storage / storage-partitioned join)
+    — the 100 TB corpus is hashed exactly once in its life, not per run."""
+    ck = index_keys.select(
+        "band", "key", F.col("doc_id").alias("c_doc")
+    )
+    hits = (
+        batch_keys.join(ck, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("c_doc").cast("long").alias("n_corpus_hits"))
+    )
+    return batch_ids.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_corpus_hits"), F.lit(0)).cast("long").alias(
+            "n_corpus_hits"
+        ),
+        F.col("n_corpus_hits").isNull().cast("long").alias("survives"),
+    )
+
+
 # ------------------------------------------------- incremental batch dedup
 
 

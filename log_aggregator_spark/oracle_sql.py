@@ -673,6 +673,33 @@ SELECT l.doc_id,
        coalesce(r.dedup_md5, md5('')) AS dedup_md5
 FROM lw l LEFT JOIN reb r USING (doc_id)
 """,
+        # incremental near-dup vs the stored LSH index — mirrors
+        # entry_queries.q_dedup_incremental_lsh (one hashing of the
+        # universe, nib<13 = index side, nib>=13 = probe batch)
+        "dedup_incremental_lsh": TEXT_PRELUDE
+        + f"""
+, {_MINHASH_BK_CTES},
+nibs AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+  FROM documents
+),
+hits AS (
+  SELECT b.doc_id, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_hits
+  FROM mbk b
+  JOIN nibs nb ON b.doc_id = nb.doc_id AND nb.nib >= 13
+  JOIN mbk c ON b.band = c.band AND b.key = c.key
+  JOIN nibs nc ON c.doc_id = nc.doc_id AND nc.nib < 13
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CAST(coalesce(h.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS survives
+FROM nibs n LEFT JOIN hits h USING (doc_id)
+WHERE n.nib >= 13
+""",
         # incremental batch-vs-corpus dedup — mirrors
         # entry_queries.q_dedup_incremental's deterministic split + echoes
         "dedup_incremental": """

@@ -203,6 +203,18 @@ def main() -> None:
                      ["LEFT ANTI on md5 fingerprint; min/count partial-agg "
                       "for the intra-batch pick"]))
 
+    # --- incremental LSH probe: banded equi-join, ids only ---------------
+    ilq = QUERIES["dedup_incremental_lsh"](spark, SF)
+    ilplan = fmt_plan(ilq)
+    check("incr-lsh no cartesian", "CartesianProduct" not in ilplan,
+          "the index probe must be an equi-join on (band, key)")
+    check("incr-lsh ids-only probe", "text" not in ilplan.split("hashpartitioning")[-1][:600]
+          if "hashpartitioning" in ilplan else True,
+          "no text/signature payload crosses the probe shuffle")
+    sections.append(("dedup_incremental_lsh", ilplan,
+                     ["batch band keys equi-join the stored index on "
+                      "(band, key); countDistinct partial-aggregates"]))
+
     # --- corpus mix: literal CASE policy — no join anywhere --------------
     cq = QUERIES["text_corpus_mix"](spark, SF)
     cqplan = fmt_plan(cq)

@@ -332,6 +332,31 @@ def test_incremental_exact_anti_join_and_intra_batch_pick(spark):
     assert got == {11: 2, 13: 1}
 
 
+def test_incremental_near_lsh_collision_kills_unique_survives(spark):
+    """A batch doc textually identical to a corpus doc collides in every
+    band (same signature) -> suspect; a batch doc with disjoint shingles
+    has zero collisions -> survivor. Index and batch keys are hashed with
+    the same recipe over the union, as the entry query does."""
+    from log_aggregator_spark.functions import dedup as fd
+    import pyspark.sql.functions as F
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    uniq = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, "totally different corpus text here"), (10, dup),
+         (11, uniq)],
+        schema="doc_id long, text string",
+    )
+    keys = fd.minhash_band_keys(fd.minhash_signatures(docs))
+    index_keys = keys.where(F.col("doc_id") < 10)
+    batch_keys = keys.where(F.col("doc_id") >= 10)
+    batch_ids = docs.where("doc_id >= 10").select("doc_id")
+    got = {r["doc_id"]: r for r in fd.incremental_near_lsh(
+        index_keys, batch_keys, batch_ids).collect()}
+    assert got[10]["survives"] == 0 and got[10]["n_corpus_hits"] == 1
+    assert got[11]["survives"] == 1 and got[11]["n_corpus_hits"] == 0
+
+
 def test_corpus_mix_weights_override_and_determinism(spark):
     """Explicit weights pin the rate (0 -> nothing kept, 16 -> all kept);
     two runs agree row-for-row (content-hash, no rand())."""
