@@ -174,9 +174,10 @@ def main_default(args) -> None:
         # evidence.
         if args.lc_executors:
             os.environ.setdefault("SPARK_HOME", "/opt/spark")
-            cores = lc_master(args.lc_executors)
+            cores = lc_master(args.lc_executors, mem_mb=args.lc_mem_mb)
             spark = get_spark(
-                "bench", cores=cores, shuffle_partitions=32,
+                "bench", cores=cores,
+                shuffle_partitions=args.shuffle_partitions or 32,
                 extra_conf={
                     "spark.local.dir": shm_or(tmp, f"lc_{args.lc_executors}"),
                     "spark.executorEnv.PYTHONPATH": REPO,
@@ -185,6 +186,7 @@ def main_default(args) -> None:
         else:
             spark = get_spark(
                 "bench", cores=cores,
+                shuffle_partitions=args.shuffle_partitions,
                 extra_conf={"spark.local.dir": shm_or(tmp, f"local_{cores}")},
             )
         chunks_path, routes_path = materialize_synth(spark, args.synth_docs, tmp)
@@ -482,6 +484,14 @@ if __name__ == "__main__":
     p.add_argument("--synth-docs", type=int, default=0,
                    help="use the deterministic synthetic scale corpus of N docs "
                         "(scaling mode default 2_000_000)")
+    p.add_argument("--shuffle-partitions", type=int, default=None,
+                   help="shuffle partitions for the synth-corpus scaling "
+                        "runs (default: 32 in executor mode, 2x cores in "
+                        "local mode); scale with --synth-docs to hold "
+                        "per-task memory constant (the knob a real "
+                        "cluster turns)")
+    p.add_argument("--lc-mem-mb", type=int, default=6144,
+                   help="per-executor heap for local-cluster mode")
     p.add_argument("--workdir", default="/tmp/la_spark_bench")
     p.add_argument("--json-out", default=None)
     p.add_argument("--skip-queries", action="store_true")
