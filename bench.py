@@ -411,7 +411,9 @@ def _write_bench_md(summaries: list[dict]) -> None:
     except (OSError, json.JSONDecodeError, KeyError):
         pass
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # auto-summary goes to its own file: BASELINE.md is curated by hand
+    # (multi-window, multi-scale accounting the generator can't know)
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(f"""# BENCH baseline — measured on this sandbox
 {e2e_line}
 
