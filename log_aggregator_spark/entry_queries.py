@@ -510,6 +510,10 @@ def q_ev_retention(spark, sf_dir):
     return fev.retention(_events(spark, sf_dir))
 
 
+def q_ev_profile(spark, sf_dir):
+    return fev.profile_columns(_events(spark, sf_dir))
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -591,6 +595,7 @@ QUERIES: dict[str, QueryFn] = {
     "ev_spikes": q_ev_spikes,
     "ev_asof_enrich": q_ev_asof_enrich,
     "ev_retention": q_ev_retention,
+    "ev_profile": q_ev_profile,
     "text_ngram_counts": q_text_ngram_counts,
     "mm_format_stats": q_mm_format_stats,
 }

@@ -317,6 +317,45 @@ def retention(events: DataFrame) -> DataFrame:
     )
 
 
+def profile_columns(events: DataFrame) -> DataFrame:
+    """ANALYZE-style table profiling — the data-quality pass every
+    ingest pipeline runs before trusting a new partition: per column,
+    row/null counts, EXACT distinct cardinality, and canonical min/max.
+    Values are canonicalized to engine-identical strings first
+    (integers/epochs verbatim, doubles as round(×100) integers) so both
+    the distinct count and the lexicographic min/max compare hash-exact
+    across engines. (col, n_rows, n_nulls, n_distinct, min_val, max_val).
+
+    Scale shape: ONE scan — the profiled columns unpivot via ``stack``
+    into (col, val) rows, and Spark's distinct-aggregate rewrite makes
+    the rest two partial-agg shuffles: groupBy(col, val) collapses
+    duplicates map-side (the heavy reduction), then groupBy(col) folds
+    the survivors. No per-column scan loop, no expand over the raw table.
+    At 10^12 rows the exact distinct would swap to
+    ``approx_count_distinct`` (HLL++, map-combinable) at the cost of
+    leaving the exact-hash gate — same trade ``value_percentiles``
+    documents."""
+    canon = {
+        "event_type": F.col("event_type"),
+        "user_id": F.col("user_id").cast("string"),
+        "value": F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        "props": F.col("props"),
+    }
+    stack_args = ", ".join(f"'{c}', `_p_{c}`" for c in canon)
+    unpivoted = events.select(
+        *[v.alias(f"_p_{c}") for c, v in canon.items()]
+    ).select(
+        F.expr(f"stack({len(canon)}, {stack_args}) as (col, val)")
+    )
+    return unpivoted.groupBy("col").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

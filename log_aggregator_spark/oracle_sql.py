@@ -1156,6 +1156,25 @@ SELECT event_id, user_id,
        CAST(coalesce(floor(sec - csec), -1) AS BIGINT) AS lag_sec
 FROM seq WHERE event_type = 'error'
 """,
+    # column profiling — mirrors events.profile_columns (canonical strings)
+    "ev_profile": """
+WITH u AS (
+  SELECT 'event_type' AS col, event_type AS val FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'value', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props', props FROM events
+)
+SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_val, max(val) AS max_val
+FROM u GROUP BY col
+""",
     # day-over-day retention — mirrors events.retention (lead, no self-join)
     "ev_retention": """
 WITH daily AS (

@@ -249,6 +249,19 @@ def main() -> None:
                      ["partial-agg tf and df; term equi-join; 1-row "
                       "broadcast for N; per-doc bounded top-k window"]))
 
+    # --- column profile: one scan feeds every column's stats -------------
+    prq = QUERIES["ev_profile"](spark, SF)
+    prplan = fmt_plan(prq)
+    check("profile single scan", prplan.count("Scan parquet") <= 2,
+          "profiling unpivots via stack — one table scan, not one per "
+          "column (plan shows the scan once in tree + once in detail)")
+    check("profile no expand", ") Expand" not in prplan,
+          "a single distinct aggregate must use the two-phase rewrite, "
+          "not an Expand over the raw rows")
+    sections.append(("ev_profile", prplan,
+                     ["stack unpivot → groupBy(col, val) partial dedup → "
+                      "groupBy(col) fold; exact distincts, one scan"]))
+
     # --- as-of enrich: one window pass, no join, no range explosion ------
     aq = QUERIES["ev_asof_enrich"](spark, SF)
     aplan = fmt_plan(aq)

@@ -75,6 +75,29 @@ def test_asof_enrich_same_timestamp_is_strict_by_event_id(spark):
     assert got[8]["click_value_x100"] == -1  # click id 9 orders after
 
 
+def test_profile_columns_nulls_distincts_minmax(spark):
+    rows = [
+        (1, datetime.fromisoformat("2024-01-01 10:00:00"), 7, "click", 1.5, '{"k": 1}'),
+        (2, datetime.fromisoformat("2024-01-01 10:01:00"), 7, "view", None, '{"k": 1}'),
+        (3, datetime.fromisoformat("2024-01-01 10:02:00"), 8, None, 2.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {r["col"]: r for r in fev.profile_columns(ev).collect()}
+    assert got["event_type"]["n_rows"] == 3  # count(*) includes nulls
+    assert got["event_type"]["n_nulls"] == 1
+    assert got["event_type"]["n_distinct"] == 2  # nulls excluded
+    assert got["value"]["n_nulls"] == 1
+    # canonical doubles: round(x*100) as string; min is lexicographic on
+    # the canonical form ("150" < "200")
+    assert (got["value"]["min_val"], got["value"]["max_val"]) == ("150", "200")
+    assert got["props"]["n_distinct"] == 1
+    assert got["user_id"]["n_distinct"] == 2
+
+
 def test_retention_gap_breaks_streak_and_permille(spark):
     d1, d2, d3 = "2024-01-01", "2024-01-02", "2024-01-03"
     rows, eid = [], 0
