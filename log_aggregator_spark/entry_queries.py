@@ -514,6 +514,10 @@ def q_ev_profile(spark, sf_dir):
     return fev.profile_columns(_events(spark, sf_dir))
 
 
+def q_ev_funnel(spark, sf_dir):
+    return fev.funnel_steps(_events(spark, sf_dir))
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -596,6 +600,7 @@ QUERIES: dict[str, QueryFn] = {
     "ev_asof_enrich": q_ev_asof_enrich,
     "ev_retention": q_ev_retention,
     "ev_profile": q_ev_profile,
+    "ev_funnel": q_ev_funnel,
     "text_ngram_counts": q_text_ngram_counts,
     "mm_format_stats": q_mm_format_stats,
 }

@@ -317,6 +317,76 @@ def retention(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "error")
+
+
+def funnel_steps(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered funnel conversion: how many users reach step k having
+    passed steps 1..k-1 IN ORDER (a 'click' before any 'view' does not
+    count toward step 2). Emits one row per step with the user count and
+    conversion permille vs step 1.
+    (step_idx, step, n_users, permille_of_first).
+
+    Single-pass shape: one shuffle on user_id, one in-task sort, then a
+    running-window chain — reach_1 = min ts of step1 so far, reach_2 =
+    min ts of step2 at-or-after reach_1, … — each step's reach time is a
+    windowed min over rows where the PREVIOUS step's reach is already
+    set and strictly earlier-or-equal. The per-user funnel collapses to
+    one row via max(flags) and the final rollup is a tiny partial-agg —
+    no self-joins, no per-step scans (the textbook k-way join
+    formulation shuffles the table k times)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sec = F.col("ts").cast("timestamp").cast("double")
+    df = events.select("user_id", "event_id", "event_type", "ts")
+    reach_prev = None
+    reach_cols = []
+    for i, step in enumerate(steps):
+        if reach_prev is None:
+            hit = F.when(F.col("event_type") == step, sec)
+        else:
+            hit = F.when(
+                (F.col("event_type") == step) & (reach_prev <= sec), sec
+            )
+        reach = F.min(hit).over(w)
+        name = f"_reach_{i}"
+        df = df.withColumn(name, reach)
+        reach_prev = F.col(name)
+        reach_cols.append(name)
+    per_user = df.groupBy("user_id").agg(
+        *[
+            F.max(F.col(c).isNotNull().cast("long")).alias(f"_hit_{i}")
+            for i, c in enumerate(reach_cols)
+        ]
+    )
+    counts = per_user.agg(
+        *[F.sum(f"_hit_{i}").cast("long").alias(f"n_{i}") for i in range(len(steps))]
+    )
+    # one row per step via explode — a per-step union would re-execute
+    # the whole aggregation chain once per step
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col(f"n_{i}").alias("n_users"),
+                F.floor(F.col(f"n_{i}") * 1000 / F.col("n_0"))
+                .cast("long")
+                .alias("permille_of_first"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(entries).alias("e")).select("e.*")
+
+
 def profile_columns(events: DataFrame) -> DataFrame:
     """ANALYZE-style table profiling — the data-quality pass every
     ingest pipeline runs before trusting a new partition: per column,

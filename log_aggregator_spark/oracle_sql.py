@@ -1156,6 +1156,50 @@ SELECT event_id, user_id,
        CAST(coalesce(floor(sec - csec), -1) AS BIGINT) AS lag_sec
 FROM seq WHERE event_type = 'error'
 """,
+    # ordered funnel — mirrors events.funnel_steps (sequential window
+    # chain: reach_k counts only at-or-after reach_{k-1})
+    "ev_funnel": """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch(ts) AS sec, ts FROM events
+),
+r1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+            OVER w AS reach0
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND reach0 <= sec
+                     THEN sec END) OVER w AS reach1
+  FROM r1
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r3 AS (
+  SELECT *, min(CASE WHEN event_type = 'error' AND reach1 <= sec
+                     THEN sec END) OVER w AS reach2
+  FROM r2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pu AS (
+  SELECT user_id,
+         max(CASE WHEN reach0 IS NOT NULL THEN 1 ELSE 0 END) AS h0,
+         max(CASE WHEN reach1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN reach2 IS NOT NULL THEN 1 ELSE 0 END) AS h2
+  FROM r3 GROUP BY 1
+),
+c AS (SELECT sum(h0) AS n0, sum(h1) AS n1, sum(h2) AS n2 FROM pu)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(floor(n_users * 1000.0 / n0) AS BIGINT) AS permille_of_first
+FROM (
+  SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users, n0 FROM c
+  UNION ALL SELECT 2, 'click', n1, n0 FROM c
+  UNION ALL SELECT 3, 'error', n2, n0 FROM c
+)
+""",
     # column profiling — mirrors events.profile_columns (canonical strings)
     "ev_profile": """
 WITH u AS (

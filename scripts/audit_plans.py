@@ -249,6 +249,19 @@ def main() -> None:
                      ["partial-agg tf and df; term equi-join; 1-row "
                       "broadcast for N; per-doc bounded top-k window"]))
 
+    # --- funnel: window chain, no per-step joins or scans ----------------
+    fq = QUERIES["ev_funnel"](spark, SF)
+    fplan = fmt_plan(fq)
+    check("funnel joinless", "Join" not in fplan,
+          "ordered funnel must be the window-chain form, not a k-way "
+          "self-join (k shuffles of the full table)")
+    check("funnel two exchanges max", fplan.count(") Exchange") <= 2,
+          "one shuffle on user_id (windows + per-user agg share it) plus "
+          "the single-row rollup")
+    sections.append(("ev_funnel", fplan,
+                     ["Exchange(user_id) → Sort → chained reach windows → "
+                      "per-user agg reuses the partitioning → 1-row rollup"]))
+
     # --- column profile: one scan feeds every column's stats -------------
     prq = QUERIES["ev_profile"](spark, SF)
     prplan = fmt_plan(prq)

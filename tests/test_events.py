@@ -75,6 +75,47 @@ def test_asof_enrich_same_timestamp_is_strict_by_event_id(spark):
     assert got[8]["click_value_x100"] == -1  # click id 9 orders after
 
 
+def test_funnel_requires_steps_in_order(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: view -> click -> error (full funnel)
+            (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+            (2, "2024-01-01 10:01:00", 1, "click", 0.0),
+            (3, "2024-01-01 10:02:00", 1, "error", 0.0),
+            # user 2: click BEFORE view -> click must not count (step 2
+            # unreached) even though a later error follows the view
+            (4, "2024-01-01 10:00:00", 2, "click", 0.0),
+            (5, "2024-01-01 10:01:00", 2, "view", 0.0),
+            (6, "2024-01-01 10:02:00", 2, "error", 0.0),
+            # user 3: view only
+            (7, "2024-01-01 10:00:00", 3, "view", 0.0),
+            # user 4: error only -> counts for nothing
+            (8, "2024-01-01 10:00:00", 4, "error", 0.0),
+        ],
+    )
+    got = {r["step_idx"]: r for r in fev.funnel_steps(ev).collect()}
+    assert (got[1]["step"], got[1]["n_users"]) == ("view", 3)
+    assert (got[2]["step"], got[2]["n_users"]) == ("click", 1)
+    assert (got[3]["step"], got[3]["n_users"]) == ("error", 1)
+    assert got[2]["permille_of_first"] == 333
+    assert got[1]["permille_of_first"] == 1000
+
+
+def test_funnel_click_after_view_then_error_before_click(spark):
+    """view -> error -> click: step 3 unreached (no error AFTER click)."""
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 9, "view", 0.0),
+            (2, "2024-01-01 10:01:00", 9, "error", 0.0),
+            (3, "2024-01-01 10:02:00", 9, "click", 0.0),
+        ],
+    )
+    got = {r["step_idx"]: r["n_users"] for r in fev.funnel_steps(ev).collect()}
+    assert got == {1: 1, 2: 1, 3: 0}
+
+
 def test_profile_columns_nulls_distincts_minmax(spark):
     rows = [
         (1, datetime.fromisoformat("2024-01-01 10:00:00"), 7, "click", 1.5, '{"k": 1}'),
