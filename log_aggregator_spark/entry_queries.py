@@ -335,9 +335,7 @@ def q_dedup_incremental(spark, sf_dir):
     the anti-join) and 'resubmits' = in-batch duplicate submissions
     (doc_id+2e6, collapsed by the intra-batch min pick)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    nib = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
+    nib = ftext.hash_nibble(F.col("doc_id"))
     corpus = docs.where(nib < 13)
     fresh = docs.where(nib >= 13)
     echo = corpus.where(F.col("doc_id") % 7 == 0).withColumn(
@@ -361,9 +359,7 @@ def q_dedup_incremental_lsh(spark, sf_dir):
             _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
         )
     )
-    nib = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
+    nib = ftext.hash_nibble(F.col("doc_id"))
     index_keys = keys.where(nib < 13)
     batch_keys = keys.where(nib >= 13)
     batch_ids = _docs(spark, sf_dir).where(nib >= 13).select("doc_id")
@@ -375,9 +371,7 @@ def q_text_decontaminate(spark, sf_dir):
     docs plays the held-out benchmark; training docs sharing an 8-gram
     with it are flagged."""
     docs = _docs(spark, sf_dir)
-    nib = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
+    nib = ftext.hash_nibble(F.col("doc_id"))
     return ftext.decontaminate(
         docs.where(nib < 13), docs.where(nib >= 13)
     )

@@ -544,33 +544,33 @@ def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
             F.col("first.idx").alias("w_idx"),
         )
     )
-    kept = inst.join(winners, "block", "left").where(
-        (~F.col("full"))
-        | ((F.col("doc_id") == F.col("w_doc")) & (F.col("idx") == F.col("w_idx")))
+    # keep as a FLAG, not a filter: every doc has >=1 block (empty text
+    # still splits to one tail stub), so one aggregate over the flagged
+    # instances yields totals AND the rebuild — no second scan of
+    # `documents`, no extra doc_id join (collect_list skips the nulls the
+    # `when` leaves for dropped blocks; all-dropped docs hash md5(""))
+    keep = (~F.col("full")) | (
+        (F.col("doc_id") == F.col("w_doc")) & (F.col("idx") == F.col("w_idx"))
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    flagged = inst.join(winners, "block", "left").withColumn("keep", keep)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        (F.count("*") - F.sum(F.col("keep").cast("long")))
+        .cast("long")
+        .alias("n_dropped"),
         F.md5(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("idx", "block"))),
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "block"))
+                        )
+                    ),
                     lambda s: s["block"],
                 ),
             )
         ).alias("dedup_md5"),
-    )
-    totals = documents.select(
-        "doc_id",
-        F.ceil(F.size(w) / F.lit(span_words)).cast("long").alias("n_spans"),
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_dropped"),
-        F.coalesce(F.col("dedup_md5"), F.md5(F.lit(""))).alias("dedup_md5"),
     )
 
 

@@ -327,7 +327,8 @@ def funnel_steps(
     passed steps 1..k-1 IN ORDER (a 'click' before any 'view' does not
     count toward step 2). Emits one row per step with the user count and
     conversion permille vs step 1.
-    (step_idx, step, n_users, permille_of_first).
+    (step_idx, step, n_users, permille_of_first; -1 sentinel when step 1
+    has no users).
 
     Single-pass shape: one shuffle on user_id, one in-task sort, then a
     running-window chain — reach_1 = min ts of step1 so far, reach_2 =
@@ -337,8 +338,6 @@ def funnel_steps(
     one row via max(flags) and the final rollup is a tiny partial-agg —
     no self-joins, no per-step scans (the textbook k-way join
     formulation shuffles the table k times)."""
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -377,7 +376,17 @@ def funnel_steps(
                 F.lit(i + 1).cast("long").alias("step_idx"),
                 F.lit(step).alias("step"),
                 F.col(f"n_{i}").alias("n_users"),
-                F.floor(F.col(f"n_{i}") * 1000 / F.col("n_0"))
+                # -1 sentinel when step 1 is empty (module contract:
+                # integerized non-null outputs; see asof_enrich).
+                # try_divide, not `/`: Spark 4 is ANSI by default, so a
+                # plain division THROWS on the zero — coalesce alone
+                # never sees the null
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(F.col(f"n_{i}") * 1000, F.col("n_0"))
+                    ),
+                    F.lit(-1),
+                )
                 .cast("long")
                 .alias("permille_of_first"),
             )

@@ -30,6 +30,17 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def hash_nibble(col: Column) -> Column:
+    """First hex nibble (0..15) of md5(col) — the house content hash for
+    every deterministic sample/split/bucket decision (never ``rand()``:
+    reproducible across engines, retries and runs). SQL twin:
+    ``strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1``. Change the
+    two together."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 1), 16, 10
+    ).cast("int")
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     w = words(F.col("text"))
     return documents.select(
@@ -327,10 +338,9 @@ def sample_stratified(documents: DataFrame, keep_16ths: int = 4) -> DataFrame:
     (keep_16ths/16 of each stratum in expectation, reproducible across
     engines and runs — never ``rand()``, which breaks retry determinism
     and oracle parity). (doc_id, source)."""
-    nib = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
-    return documents.select("doc_id", "source").where(nib < keep_16ths)
+    return documents.select("doc_id", "source").where(
+        hash_nibble(F.col("doc_id")) < keep_16ths
+    )
 
 
 # ------------------------------------------------------ sequence packing
@@ -361,10 +371,7 @@ def pack_sequences(
     at 100 TB set ``buckets`` ≈ the executor-core count × a small factor
     (the knob trades pack-boundary waste against parallelism, exactly the
     shard-count knob of a real tokenizer fleet)."""
-    nib = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
-    bucket = (nib % buckets).cast("long")
+    bucket = (hash_nibble(F.col("doc_id")) % buckets).cast("long")
     from pyspark.sql import Window
 
     w = (
@@ -395,6 +402,7 @@ def pack_sequences(
 
 
 TFIDF_TOPK = 5
+TFIDF_SCALE = 1_000_000
 
 
 def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
@@ -416,7 +424,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     corpus size N joins in as a broadcast single-row aggregate. The final
     top-k window partitions by doc_id — bounded by a document's distinct
     terms, never the corpus."""
-    SCALE = 1_000_000
+    SCALE = TFIDF_SCALE
     terms = documents.select(
         "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
     ).where(F.col("term") != "")
@@ -469,17 +477,10 @@ def corpus_mix(
     one partial-agg groupBy(source) — sources are few, rows collapse
     map-side; the weights dict rides the plan as a literal CASE, no join.
     """
-    nib_src = (
-        F.conv(F.substring(F.md5(F.col("source")), 1, 1), 16, 10).cast("int")
-        % 8
-        + 1
-    )
-    rate = nib_src
+    rate = hash_nibble(F.col("source")) % 8 + 1
     for src, r in sorted((weights or {}).items()):
         rate = F.when(F.col("source") == src, F.lit(int(r))).otherwise(rate)
-    nib_doc = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
+    nib_doc = hash_nibble(F.col("doc_id"))
     return (
         documents.select(
             "source",

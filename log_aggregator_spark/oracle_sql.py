@@ -190,9 +190,11 @@ from .functions.text import (  # noqa: E402
     REP_MAX_DUPW_X1000,
     REP_MAX_TOP2_X1000,
     STOPWORDS,
+    TFIDF_SCALE,
     TFIDF_TOPK,
     VOCAB_TOPN,
 )
+from .functions.events import FUNNEL_STEPS as _FUNNEL_STEPS  # noqa: E402
 
 # regex literals for SQL interpolation: single-quote-escape only (patterns
 # contain no quotes today; the escape keeps that a non-event)
@@ -620,7 +622,7 @@ dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT t.doc_id, t.term, t.tf, d.df,
-         CAST((t.tf * 1000000 * n.n_docs) // d.df AS BIGINT) AS score
+         CAST((t.tf * {TFIDF_SCALE} * n.n_docs) // d.df AS BIGINT) AS score
   FROM tf t JOIN dfx d USING (term), n
 )
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
@@ -1028,6 +1030,59 @@ WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
 # Mirrors functions/events.py. Timestamps → epoch seconds (BIGINT); floats
 # integerized floor(×100 / ×1000).
 
+_FUNNEL_WINDOW = (
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+    "               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    """DuckDB twin of events.funnel_steps, generated from the SAME step
+    tuple the Spark code reads — per-CTE windows mirror the chained
+    ``min(... at-or-after previous reach)`` exactly."""
+    ctes = [
+        "s AS (\n  SELECT user_id, event_id, event_type, epoch(ts) AS sec, ts"
+        " FROM events\n)"
+    ]
+    prev = "s"
+    for i, step in enumerate(steps):
+        cond = f"event_type = '{step}'"
+        if i > 0:
+            cond += f" AND reach{i - 1} <= sec"
+        ctes.append(
+            f"r{i} AS (\n  SELECT *, min(CASE WHEN {cond} THEN sec END)"
+            f" OVER w AS reach{i}\n  FROM {prev}\n  {_FUNNEL_WINDOW}\n)"
+        )
+        prev = f"r{i}"
+    hits = ",\n         ".join(
+        f"max(CASE WHEN reach{i} IS NOT NULL THEN 1 ELSE 0 END) AS h{i}"
+        for i in range(len(steps))
+    )
+    sums = ", ".join(f"sum(h{i}) AS n{i}" for i in range(len(steps)))
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{step}' AS step, n{i} AS n_users, n0"
+        " FROM c"
+        for i, step in enumerate(steps)
+    )
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql},
+pu AS (
+  SELECT user_id,
+         {hits}
+  FROM {prev} GROUP BY 1
+),
+c AS (SELECT {sums} FROM pu)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(coalesce(floor(n_users * 1000.0 / n0), -1) AS BIGINT)
+         AS permille_of_first
+FROM (
+  {rows}
+)
+"""
+
+
 EVENTS_SQL: dict[str, str] = {
     "ev_tumbling_counts": """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
@@ -1156,50 +1211,10 @@ SELECT event_id, user_id,
        CAST(coalesce(floor(sec - csec), -1) AS BIGINT) AS lag_sec
 FROM seq WHERE event_type = 'error'
 """,
-    # ordered funnel — mirrors events.funnel_steps (sequential window
-    # chain: reach_k counts only at-or-after reach_{k-1})
-    "ev_funnel": """
-WITH s AS (
-  SELECT user_id, event_id, event_type, epoch(ts) AS sec, ts FROM events
-),
-r1 AS (
-  SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
-            OVER w AS reach0
-  FROM s
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-r2 AS (
-  SELECT *, min(CASE WHEN event_type = 'click' AND reach0 <= sec
-                     THEN sec END) OVER w AS reach1
-  FROM r1
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-r3 AS (
-  SELECT *, min(CASE WHEN event_type = 'error' AND reach1 <= sec
-                     THEN sec END) OVER w AS reach2
-  FROM r2
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-pu AS (
-  SELECT user_id,
-         max(CASE WHEN reach0 IS NOT NULL THEN 1 ELSE 0 END) AS h0,
-         max(CASE WHEN reach1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
-         max(CASE WHEN reach2 IS NOT NULL THEN 1 ELSE 0 END) AS h2
-  FROM r3 GROUP BY 1
-),
-c AS (SELECT sum(h0) AS n0, sum(h1) AS n1, sum(h2) AS n2 FROM pu)
-SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
-       CAST(n_users AS BIGINT) AS n_users,
-       CAST(floor(n_users * 1000.0 / n0) AS BIGINT) AS permille_of_first
-FROM (
-  SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users, n0 FROM c
-  UNION ALL SELECT 2, 'click', n1, n0 FROM c
-  UNION ALL SELECT 3, 'error', n2, n0 FROM c
-)
-""",
+    # ordered funnel — generated from events.FUNNEL_STEPS (sequential
+    # window chain: reach_k counts only at-or-after reach_{k-1}) so the
+    # step list cannot drift from the Spark expression
+    "ev_funnel": _funnel_sql(_FUNNEL_STEPS),
     # column profiling — mirrors events.profile_columns (canonical strings)
     "ev_profile": """
 WITH u AS (

@@ -33,6 +33,16 @@ def fmt_plan(df) -> str:
     )
 
 
+def exchange_inputs(plan: str) -> list[str]:
+    """The ``Input [...]`` attribute list of every shuffle-Exchange detail
+    block — the anchored way to assert what payload crosses a shuffle
+    (substring windows around 'Exchange' drift with plan layout)."""
+    out = []
+    for block in re.split(r"\(\d+\) Exchange\b", plan)[1:]:
+        out.append(block.split("Arguments:")[0])
+    return out
+
+
 def main() -> None:
     from log_aggregator_spark import chunker
     from log_aggregator_spark.entry_queries import QUERIES
@@ -196,9 +206,9 @@ def main() -> None:
     iplan = fmt_plan(iq)
     check("incremental anti-join", "LeftAnti" in iplan,
           "corpus membership must be a LEFT ANTI join on the fingerprint")
-    check("incremental fp-only shuffle", "text" not in iplan.split("Exchange")[1][:400]
-          if "Exchange" in iplan else True,
-          "raw text must not cross the anti-join shuffle — fingerprints only")
+    check("incremental fp-only shuffle",
+          all("text#" not in x for x in exchange_inputs(iplan)),
+          "raw text must not cross ANY shuffle — fingerprints only")
     sections.append(("dedup_incremental", iplan,
                      ["LEFT ANTI on md5 fingerprint; min/count partial-agg "
                       "for the intra-batch pick"]))
@@ -208,9 +218,9 @@ def main() -> None:
     ilplan = fmt_plan(ilq)
     check("incr-lsh no cartesian", "CartesianProduct" not in ilplan,
           "the index probe must be an equi-join on (band, key)")
-    check("incr-lsh ids-only probe", "text" not in ilplan.split("hashpartitioning")[-1][:600]
-          if "hashpartitioning" in ilplan else True,
-          "no text/signature payload crosses the probe shuffle")
+    check("incr-lsh ids-only probe",
+          all("text#" not in x for x in exchange_inputs(ilplan)),
+          "no text payload crosses any shuffle — band keys and ids only")
     sections.append(("dedup_incremental_lsh", ilplan,
                      ["batch band keys equi-join the stored index on "
                       "(band, key); countDistinct partial-aggregates"]))

@@ -102,6 +102,21 @@ def test_funnel_requires_steps_in_order(spark):
     assert got[1]["permille_of_first"] == 1000
 
 
+def test_funnel_empty_first_step_gives_sentinel_not_ansi_error(spark):
+    """No step-1 events at all: n_0 = 0. Spark 4 is ANSI by default, so a
+    plain division would THROW here — the op must emit the -1 sentinel."""
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+            (2, "2024-01-01 10:01:00", 1, "error", 0.0),
+        ],
+    )
+    got = {r["step_idx"]: r for r in fev.funnel_steps(ev).collect()}
+    assert all(r["permille_of_first"] == -1 for r in got.values())
+    assert got[1]["n_users"] == 0
+
+
 def test_funnel_click_after_view_then_error_before_click(spark):
     """view -> error -> click: step 3 unreached (no error AFTER click)."""
     ev = _ev(
