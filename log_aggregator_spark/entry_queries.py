@@ -18,6 +18,7 @@ from .functions import events as fev
 from .functions import multimodal as fmm
 from .functions import similarity as fsim
 from .functions import text as ftext
+from .operators.merge import merge_upsert
 from .operators.parse import parse_envelope, split_rejects
 from .operators.reassemble import held_back, held_back_full, reassemble_sql
 from .plans.pipeline import run_pipeline
@@ -512,6 +513,53 @@ def q_ev_funnel(spark, sf_dir):
     return fev.funnel_steps(_events(spark, sf_dir))
 
 
+def q_ev_interval_errors(spark, sf_dir):
+    return fev.session_error_impact(_events(spark, sf_dir))
+
+
+def q_ev_throttle_audit(spark, sf_dir):
+    return fev.throttle_audit(_events(spark, sf_dir))
+
+
+def q_sim_centroid_update(spark, sf_dir):
+    return fsim.centroid_update(_emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir))
+
+
+def q_tbl_merge_upsert(spark, sf_dir):
+    """CDC MERGE over a deterministic change batch derived from documents:
+    doc_id%13 → delete, %7 → in-place update, %17 → insert (new key space
+    doc_id+10⁷). Twin: oracle_sql.MERGE_SQL."""
+    base = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    did = F.col("doc_id")
+    upd = base.where((did % 7 == 0) & (did % 13 != 0)).select(
+        "doc_id",
+        "lang",
+        F.lit("patched").alias("source"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dels = base.where(did % 13 == 0).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit(1).alias("version"), F.lit("D").alias("op"),
+    )
+    ins = base.where(did % 17 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        "lang",
+        F.lit("inserted").alias("source"),
+        "n_chars",
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    updates = upd.unionByName(dels).unionByName(ins)
+    merged = merge_upsert(base, updates, keys=["doc_id"])
+    return merged.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("version").cast("long").alias("version"),
+    )
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -597,6 +645,10 @@ QUERIES: dict[str, QueryFn] = {
     "ev_funnel": q_ev_funnel,
     "text_ngram_counts": q_text_ngram_counts,
     "mm_format_stats": q_mm_format_stats,
+    "ev_interval_errors": q_ev_interval_errors,
+    "ev_throttle_audit": q_ev_throttle_audit,
+    "sim_centroid_update": q_sim_centroid_update,
+    "tbl_merge_upsert": q_tbl_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -606,4 +658,5 @@ ORACLES: dict[str, str] = {
     **oracle_sql.MM_SQL,
     **oracle_sql.EVENTS_SQL,
     **oracle_sql.FILTER_SQL,
+    **oracle_sql.MERGE_SQL,
 }

@@ -435,6 +435,107 @@ def profile_columns(events: DataFrame) -> DataFrame:
     )
 
 
+INTERVAL_PAD_SEC = 900  # impact window: session padded ±15 min
+INTERVAL_BUCKET_SEC = 3600  # interval-join bin width (1 h)
+
+
+def session_error_impact(
+    events: DataFrame,
+    pad_sec: int = INTERVAL_PAD_SEC,
+    bucket_sec: int = INTERVAL_BUCKET_SEC,
+) -> DataFrame:
+    """Bucketed interval join — the range-predicate join Spark has no
+    shuffle strategy for: count system-wide ``error`` events (from ANY
+    user) falling inside each user session's padded impact window
+    ``[start−pad, end+pad]`` — "how many global incidents overlapped this
+    session". (user_id, session_start_epoch, n_errors; sessions with zero
+    overlapping errors retained at 0).
+
+    Scale shape: a naive ``ON e.ts BETWEEN iv.lo AND iv.hi`` plans
+    BroadcastNestedLoopJoin — O(|sessions|·|errors|), a non-starter when
+    both sides are large. Instead both sides are binned to fixed-width
+    time buckets: every error belongs to exactly ONE bucket
+    (``floor(sec/W)``), every interval explodes to the few buckets it
+    covers (``sequence(floor(lo/W), floor(hi/W))``), and the join becomes
+    a plain shuffled equi-join on the bucket key with the range predicate
+    left as a residual filter. Each (interval, error) pair meets at most
+    once — the error's bucket is unique — so no post-join dedup. Bucket
+    keys are time: uniform by construction, no skew salt needed; the
+    explode factor is interval_span/W (~1–2 here). This is the same
+    binning Spark's own range-join optimization (and every interval-join
+    paper) uses. Intervals derive from ``sessionize``'s window pass —
+    one shuffle on user_id — and the join is the second, irreducible
+    shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    new_sess = (
+        (sec - F.lag(sec).over(w)).isNull()
+        | ((sec - F.lag(sec).over(w)) > SESSION_GAP_SEC)
+    ).cast("long")
+    intervals = (
+        events.withColumn("session_idx", F.sum(new_sess).over(w).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            (F.min(sec) - pad_sec).alias("lo"),
+            (F.max(sec) + pad_sec).alias("hi"),
+            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / bucket_sec).cast("long"),
+                    F.floor(F.col("hi") / bucket_sec).cast("long"),
+                )
+            ),
+        )
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        sec.alias("err_sec"),
+        F.floor(sec / bucket_sec).cast("long").alias("bucket"),
+    )
+    cond = (
+        (intervals["bucket"] == errors["bucket"])
+        & (errors["err_sec"] >= intervals["lo"])
+        & (errors["err_sec"] <= intervals["hi"])
+    )
+    return (
+        intervals.join(errors, cond, "left")
+        .groupBy("user_id", "session_idx", "session_start_epoch")
+        .agg(F.count("err_sec").cast("long").alias("n_errors"))
+        .select("user_id", "session_start_epoch", "n_errors")
+    )
+
+
+PER_MINUTE_LIMIT = 2  # S16 throttle threshold (events/user/minute)
+
+
+def throttle_audit(events: DataFrame, limit_per_min: int = PER_MINUTE_LIMIT) -> DataFrame:
+    """Batch audit of the reference's throttle rule (S16 — the server's
+    ``Throttle: N`` backpressure reply,
+    ``/root/reference/server/.../LogServerController.java:170-174``): for
+    each user, peak events-per-minute and how many minutes breached the
+    limit — who WOULD have been throttled, over historical data.
+    (user_id, peak_per_min, n_active_minutes, n_throttled_minutes,
+    throttled).
+
+    Scale shape: two stacked partial aggs — groupBy(user, minute) counts
+    collapse map-side before the one shuffle on (user, minute) (near-unique
+    key, no skew), then the per-user rollup reuses the user prefix. No
+    window, no join."""
+    per_min = events.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    return per_min.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("peak_per_min"),
+        F.count("*").cast("long").alias("n_active_minutes"),
+        F.sum((F.col("n") >= limit_per_min).cast("long"))
+        .cast("long")
+        .alias("n_throttled_minutes"),
+        (F.max("n") >= limit_per_min).cast("long").alias("throttled"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

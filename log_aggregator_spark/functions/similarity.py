@@ -497,6 +497,45 @@ def ivf_topk(
     )
 
 
+def centroid_update(
+    embeddings: DataFrame, assign_df: DataFrame | None = None
+) -> DataFrame:
+    """One Lloyd iteration's reduce step — the k-means refit that turns the
+    fixed random IVF quantizer into a trained one: per (cell, dim), the
+    exact component sum and member count (the combiner state; the new
+    centroid is sum/n, derived by the tiny driver-side step that also
+    re-emits the literals). Components are integerized
+    (``round(e·10⁶) → long``) so the sums are associative-exact — a float
+    sum's value depends on reduction order and can never hash-gate.
+    (cell, dim, sum_x1m, n_members).
+
+    Scale shape: with no ``assign_df``, assignment is inlined into the
+    projection (``ivf_assign`` is join-free), so the whole update is
+    scan → posexplode(×DIM) → ONE partial-agg shuffle whose distinct key
+    space is K_CELLS·DIM rows — each map task pre-collapses to at most
+    that many rows regardless of input size, the canonical map-combined
+    k-means step (what MLlib's KMeans does per iteration via
+    treeAggregate). With a materialized ``assign_df`` (the reuse seam) it
+    is one extra equi-join on vec_id."""
+    v = _vecs(embeddings).select("vec_id", "v")
+    if assign_df is None:
+        base = _vecs(embeddings).select(
+            (-F.sort_array(_cell_scores(), asc=False)[0]["nc"])
+            .cast("long")
+            .alias("cell"),
+            "v",
+        )
+    else:
+        base = assign_df.join(v, "vec_id").select("cell", "v")
+    ex = base.select("cell", F.posexplode("v").alias("dim", "e"))
+    return ex.groupBy("cell", F.col("dim").cast("long").alias("dim")).agg(
+        F.sum(F.round(F.col("e") * 1_000_000, 0).cast("long"))
+        .cast("long")
+        .alias("sum_x1m"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+
+
 def ivf_recall(
     embeddings: DataFrame,
     k: int = LSH_TOPK,

@@ -195,6 +195,11 @@ from .functions.text import (  # noqa: E402
     VOCAB_TOPN,
 )
 from .functions.events import FUNNEL_STEPS as _FUNNEL_STEPS  # noqa: E402
+from .functions.events import (  # noqa: E402
+    INTERVAL_PAD_SEC as _IV_PAD,
+    PER_MINUTE_LIMIT as _PER_MIN,
+    SESSION_GAP_SEC as _SESS_GAP,
+)
 
 # regex literals for SQL interpolation: single-quote-escape only (patterns
 # contain no quotes today; the escape keeps that a non-event)
@@ -932,6 +937,20 @@ FROM (
     return {
         "sim_ivf_assign": base + "SELECT vec_id, cell FROM assign",
         "sim_ivf_topk": base + topk_core,
+        # Lloyd-iteration reduce: per (cell, dim) integerized component
+        # sums — mirrors similarity.centroid_update. generate_subscripts
+        # expands in lockstep with unnest in DuckDB's select list.
+        "sim_centroid_update": base + """
+SELECT cell, dim, CAST(sum(ei) AS BIGINT) AS sum_x1m,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM (
+  SELECT a.cell AS cell,
+         CAST(generate_subscripts(d.v, 1) - 1 AS BIGINT) AS dim,
+         CAST(round(unnest(d.v) * 1000000) AS BIGINT) AS ei
+  FROM assign a JOIN d USING (vec_id)
+)
+GROUP BY 1, 2
+""",
         # SemDeDup-style semantic near-dup: same-cell pairs, exact cosine
         # re-rank — mirrors similarity.semantic_near_dup
         "sim_semantic_near_dup": base + f"""
@@ -1023,6 +1042,37 @@ FROM q
 SELECT doc_id, source
 FROM documents
 WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4
+""",
+}
+
+# ------------------------------------------------- CDC merge oracle
+# Mirrors operators/merge.merge_upsert over the deterministic change batch
+# entry_queries.q_tbl_merge_upsert builds (doc_id%13 → delete, %7 → update,
+# %17 → insert under doc_id+10⁷). The oracle states MERGE the declarative
+# way (anti-membership + surviving batch rows); the Spark side proves the
+# union + max_by(payload, version) single-shuffle decomposition.
+MERGE_SQL: dict[str, str] = {
+    "tbl_merge_upsert": """
+WITH batch AS (
+  SELECT doc_id, lang, 'patched' AS source, n_chars + 1000 AS n_chars,
+         1 AS version, 'U' AS op
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars, 1, 'D'
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, lang, 'inserted', n_chars, 1, 'U'
+  FROM documents WHERE doc_id % 17 = 0
+),
+merged AS (
+  SELECT doc_id, lang, source, n_chars, 0 AS version FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars, version FROM batch WHERE op <> 'D'
+)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(version AS BIGINT) AS version
+FROM merged
 """,
 }
 
@@ -1254,6 +1304,50 @@ SELECT day_epoch, CAST(count(*) AS BIGINT) AS n_active,
        CAST(floor(sum(retained) * 1000.0 / count(*)) AS BIGINT)
          AS retained_permille
 FROM flagged GROUP BY 1
+""",
+    # bucketed interval join — mirrors events.session_error_impact; the
+    # oracle states the range join directly (DuckDB's IEJoin handles it),
+    # the Spark side proves the bucketed equi-join decomposition
+    "ev_interval_errors": f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {_SESS_GAP}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+idx AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_idx
+  FROM gaps
+),
+iv AS (
+  SELECT user_id, session_idx,
+         min(epoch(ts)) - {_IV_PAD} AS lo,
+         max(epoch(ts)) + {_IV_PAD} AS hi,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch
+  FROM idx GROUP BY 1, 2
+),
+err AS (SELECT epoch(ts) AS err_sec FROM events WHERE event_type = 'error')
+SELECT user_id, session_start_epoch,
+       CAST(count(err_sec) AS BIGINT) AS n_errors
+FROM iv LEFT JOIN err ON err.err_sec >= iv.lo AND err.err_sec <= iv.hi
+GROUP BY 1, 2
+""",
+    # S16 throttle audit — mirrors events.throttle_audit
+    "ev_throttle_audit": f"""
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS peak_per_min,
+       CAST(count(*) AS BIGINT) AS n_active_minutes,
+       CAST(sum(CASE WHEN n >= {_PER_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_throttled_minutes,
+       CAST(max(n) >= {_PER_MIN} AS BIGINT) AS throttled
+FROM m GROUP BY 1
 """,
 }
 

@@ -307,6 +307,59 @@ def main() -> None:
                      ["distinct (user, day) partial-agg; lead window on "
                       "user_id; per-day rollup partial-agg"]))
 
+    # --- interval join: bucketed equi-join, never a nested-loop range join
+    ivq = QUERIES["ev_interval_errors"](spark, SF)
+    ivplan = fmt_plan(ivq)
+    check("interval join bucketed",
+          "CartesianProduct" not in ivplan
+          and "BroadcastNestedLoopJoin" not in ivplan,
+          "the range predicate must ride as a residual on a bucket "
+          "equi-join — a nested-loop join is O(|sessions|·|errors|)")
+    sections.append(("ev_interval_errors", ivplan,
+                     ["intervals explode to covered hour buckets; join is "
+                      "hash equi-join on bucket with the ts-range residual; "
+                      "each error meets an interval at most once"]))
+
+    # --- CDC merge: union + argmax aggregate, no join ---------------------
+    mgq = QUERIES["tbl_merge_upsert"](spark, SF)
+    mgplan = fmt_plan(mgq)
+    check("merge joinless", "Join" not in mgplan,
+          "MERGE must be union + max_by(payload, version), not a full "
+          "outer join of base and batch")
+    check("merge partial argmax", "partial_max_by" in mgplan,
+          "the winner pick must map-side combine — each partition reduces "
+          "to one candidate per local key before the single shuffle")
+    sections.append(("tbl_merge_upsert", mgplan,
+                     ["union is a plan concat (no movement); one Exchange "
+                      "on doc_id with partial max_by; deletes filter after "
+                      "the argmax (tombstones only win if newest)"]))
+
+    # --- centroid update: partial-agg k-means reduce, no cartesian --------
+    cuq = QUERIES["sim_centroid_update"](spark, SF)
+    cuplan = fmt_plan(cuq)
+    check("centroid update no cartesian", "CartesianProduct" not in cuplan,
+          "the Lloyd reduce must be posexplode + partial-agg groupBy")
+    check("centroid update partial agg", cuplan.count("HashAggregate") >= 2,
+          "per-(cell, dim) sums must map-side combine — each task emits "
+          "≤ K·DIM rows regardless of input size")
+    sections.append(("sim_centroid_update", cuplan,
+                     ["posexplode(×DIM) → one partial-agg shuffle with a "
+                      "K_CELLS·DIM-row key space — the treeAggregate shape "
+                      "of an MLlib k-means step"]))
+
+    # --- throttle audit: two stacked partial aggs, no window, no join -----
+    thq = QUERIES["ev_throttle_audit"](spark, SF)
+    thplan = fmt_plan(thq)
+    check("throttle audit agg-only",
+          "Join" not in thplan and ") Window" not in thplan,
+          "the per-user rollup must be stacked aggregates")
+    check("throttle audit partial agg", thplan.count("HashAggregate") >= 4,
+          "(user, minute) counts and the per-user rollup must both "
+          "partial-combine map-side")
+    sections.append(("ev_throttle_audit", thplan,
+                     ["groupBy(user, minute) partial counts → per-user "
+                      "rollup reusing the user prefix; no window, no join"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,

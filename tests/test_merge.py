@@ -1,0 +1,83 @@
+"""CDC merge (operators/merge.merge_upsert) semantics: last-writer-wins by
+version, tombstone deletes, inserts, and the MERGE edge cases — delete of a
+missing key, delete shadowed by a newer upsert, multi-batch version chains.
+The sf-scale twin is the ``tbl_merge_upsert`` oracle gate."""
+
+from __future__ import annotations
+
+from log_aggregator_spark.operators.merge import merge_upsert
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, schema="k long, val string, n long")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="k long, val string, n long, version long, op string"
+    )
+
+
+def _rows(df):
+    return {
+        r["k"]: (r["val"], r["n"], r["version"])
+        for r in df.collect()
+    }
+
+
+def test_upsert_insert_delete(spark):
+    base = _base(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+    batch = _batch(
+        spark,
+        [
+            (2, "b2", 21, 1, "U"),   # update
+            (3, None, 0, 1, "D"),    # delete
+            (4, "d", 40, 1, "U"),    # insert
+        ],
+    )
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {
+        1: ("a", 10, 0),
+        2: ("b2", 21, 1),
+        4: ("d", 40, 1),
+    }
+
+
+def test_delete_of_missing_key_is_noop(spark):
+    base = _base(spark, [(1, "a", 10)])
+    batch = _batch(spark, [(9, None, 0, 1, "D")])
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {1: ("a", 10, 0)}
+
+
+def test_newest_version_wins_over_delete(spark):
+    # a delete at v1 followed by a re-insert at v2 in the same batch:
+    # the argmax keeps v2, the row survives (MERGE's insert-after-delete)
+    base = _base(spark, [(1, "a", 10)])
+    batch = _batch(
+        spark,
+        [(1, None, 0, 1, "D"), (1, "a2", 11, 2, "U")],
+    )
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {1: ("a2", 11, 2)}
+
+
+def test_delete_as_newest_wins_over_update(spark):
+    base = _base(spark, [(1, "a", 10)])
+    batch = _batch(
+        spark,
+        [(1, "a2", 11, 1, "U"), (1, None, 0, 2, "D")],
+    )
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {}
+
+
+def test_idempotent_replay(spark):
+    # replaying the same batch over the merged result changes nothing —
+    # the at-least-once delivery property the reference's overwrite-on-
+    # rearrival save gives (LogServerController.java:115-129)
+    base = _base(spark, [(1, "a", 10), (2, "b", 20)])
+    batch = _batch(spark, [(1, "a2", 11, 1, "U"), (2, None, 0, 1, "D")])
+    once = merge_upsert(base, batch, keys=["k"])
+    twice = merge_upsert(once.select("k", "val", "n"), batch, keys=["k"])
+    assert _rows(once) == _rows(twice)
