@@ -521,8 +521,20 @@ def q_ev_throttle_audit(spark, sf_dir):
     return fev.throttle_audit(_events(spark, sf_dir))
 
 
+def q_ev_rolling_active(spark, sf_dir):
+    return fev.rolling_active_users(_events(spark, sf_dir))
+
+
+def q_ev_new_users(spark, sf_dir):
+    return fev.new_users_daily(_events(spark, sf_dir))
+
+
 def q_sim_centroid_update(spark, sf_dir):
     return fsim.centroid_update(_emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir))
+
+
+def q_sim_kmeans_iterate(spark, sf_dir):
+    return fsim.kmeans_iterate(_emb(spark, sf_dir), assign_df=_ivf_index(spark, sf_dir))
 
 
 def q_tbl_merge_upsert(spark, sf_dir):
@@ -647,7 +659,10 @@ QUERIES: dict[str, QueryFn] = {
     "mm_format_stats": q_mm_format_stats,
     "ev_interval_errors": q_ev_interval_errors,
     "ev_throttle_audit": q_ev_throttle_audit,
+    "ev_rolling_active": q_ev_rolling_active,
+    "ev_new_users": q_ev_new_users,
     "sim_centroid_update": q_sim_centroid_update,
+    "sim_kmeans_iterate": q_sim_kmeans_iterate,
     "tbl_merge_upsert": q_tbl_merge_upsert,
 }
 

@@ -317,6 +317,75 @@ def retention(events: DataFrame) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame, days: int = ROLLING_DAYS) -> DataFrame:
+    """Trailing-N-day distinct active users per day (the DAU/WAU board
+    metric). (day_epoch, n_active_7d) for every day with ≥1 event in its
+    trailing window.
+
+    Scale shape: sliding-window DISTINCT does not decompose into per-day
+    partials (a user active on 3 of the 7 days must count once), and the
+    window-function form needs an unbounded per-day sort. The distributive
+    formulation: collapse to distinct (user, day) first (one partial-agg
+    shuffle — the big reduction), then explode each surviving pair to the
+    ≤N window-anchor days it participates in, and count-distinct per
+    anchor (second shuffle, keyed by day — bounded cardinality). Shuffle
+    volume is N× the DISTINCT PAIRS, not N× the raw events; at 10^12
+    events with ~10^7 (user, day) pairs that is the difference between
+    re-shuffling the corpus 7× and re-shuffling a rounding error 7×."""
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch")
+    pairs = events.select(day, "user_id").distinct()
+    anchors = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_epoch"),
+                F.col("day_epoch") + (days - 1) * 86400,
+                F.lit(86400),
+            )
+        ).alias("day_epoch"),
+    )
+    # only anchor days that themselves have activity (engine-portable
+    # boundary: no trailing ghost days after the last event)
+    real_days = pairs.select("day_epoch").distinct()
+    return (
+        anchors.join(real_days, "day_epoch")
+        .groupBy("day_epoch")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_7d"))
+    )
+
+
+def new_users_daily(events: DataFrame) -> DataFrame:
+    """Per day: first-ever-seen users vs returning actives (acquisition
+    vs engagement split). (day_epoch, n_new, n_returning).
+
+    Scale shape: both sides reduce BEFORE they meet — per-day actives is
+    one partial-agg over distinct (user, day); first-seen is ``min(day)``
+    per user (partial-agg) rolled up per first-day. The join then touches
+    two day-cardinality aggregates (a few thousand rows at any data
+    size), never re-shuffling the pairs table against itself."""
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch")
+    pairs = events.select(day, "user_id").distinct()
+    actives = pairs.groupBy("day_epoch").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    news = (
+        pairs.groupBy("user_id")
+        .agg(F.min("day_epoch").alias("day_epoch"))
+        .groupBy("day_epoch")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    return actives.join(F.broadcast(news), "day_epoch", "left").select(
+        "day_epoch",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        (F.col("n_active") - F.coalesce("n_new", F.lit(0)))
+        .cast("long")
+        .alias("n_returning"),
+    )
+
+
 FUNNEL_STEPS = ("view", "click", "error")
 
 

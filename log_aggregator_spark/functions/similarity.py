@@ -536,6 +536,55 @@ def centroid_update(
     )
 
 
+def kmeans_iterate(
+    embeddings: DataFrame, assign_df: DataFrame | None = None
+) -> DataFrame:
+    """One full distributed Lloyd iteration — the loop body that trains the
+    IVF quantizer: refit centroids from the current assignment
+    (``centroid_update``'s exact integer sums), then re-assign every vector
+    to its nearest refit centroid. Iterating this to convergence is
+    k-means; one gated round proves the whole loop since each round has the
+    same plan. (vec_id, cell).
+
+    Scale shape: the reduce is ``centroid_update`` (one partial-agg
+    shuffle, ≤ K·DIM rows out); folding sums into K centroid arrays is a
+    K-row aggregate; re-scoring joins every vector against the K-row
+    centroid table via BROADCAST (the only sane plan when one side is 16
+    rows), and the argmax is ``max(struct(score, -cell))`` — partial-max,
+    map-combinable, deterministic under the shared (score desc, cell asc)
+    tie rule. Means are exact-integer sums divided once per (cell, dim) —
+    both engines do the same two IEEE divisions on identical int64 pairs,
+    so scores match bitwise and the gate stays hash-exact."""
+    upd = centroid_update(embeddings, assign_df=assign_df)
+    cents = (
+        upd.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "sum_x1m", "n_members"))
+            ).alias("a")
+        )
+        .select(
+            F.col("cell").alias("c_cell"),
+            F.transform(
+                "a",
+                lambda s: (s["sum_x1m"].cast("double") / s["n_members"])
+                / F.lit(1_000_000.0),
+            ).alias("c_v"),
+        )
+    )
+    v = _vecs(embeddings).select("vec_id", "v")
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id",
+        F.struct(
+            _dot(F.col("v"), F.col("c_v")).alias("s"),
+            (-F.col("c_cell")).cast("long").alias("nc"),
+        ).alias("sc"),
+    )
+    return scored.groupBy("vec_id").agg(
+        (-F.max("sc")["nc"]).cast("long").alias("cell")
+    )
+
+
 def ivf_recall(
     embeddings: DataFrame,
     k: int = LSH_TOPK,

@@ -951,6 +951,36 @@ FROM (
 )
 GROUP BY 1, 2
 """,
+        # one full Lloyd iteration: refit centroids from the assignment,
+        # re-assign to nearest refit centroid — mirrors
+        # similarity.kmeans_iterate (argmax tie rule: score desc, cell asc;
+        # row_number here because DuckDB's struct max is not lexicographic)
+        "sim_kmeans_iterate": base + """,
+upd AS (
+  SELECT cell, dim, CAST(sum(ei) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT a.cell AS cell,
+           CAST(generate_subscripts(d.v, 1) - 1 AS BIGINT) AS dim,
+           CAST(round(unnest(d.v) * 1000000) AS BIGINT) AS ei
+    FROM assign a JOIN d USING (vec_id)
+  )
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT cell AS c_cell,
+         list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS c_v
+  FROM upd GROUP BY cell
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+  SELECT d.vec_id, c.c_cell AS cell,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY list_dot_product(d.v, c.c_v) DESC, c.c_cell
+         ) AS rn
+  FROM d, cents c
+) WHERE rn = 1
+""",
         # SemDeDup-style semantic near-dup: same-cell pairs, exact cosine
         # re-rank — mirrors similarity.semantic_near_dup
         "sim_semantic_near_dup": base + f"""
@@ -1335,6 +1365,46 @@ SELECT user_id, session_start_epoch,
        CAST(count(err_sec) AS BIGINT) AS n_errors
 FROM iv LEFT JOIN err ON err.err_sec >= iv.lo AND err.err_sec <= iv.hi
 GROUP BY 1, 2
+""",
+    # trailing-7-day rolling distinct actives — mirrors
+    # events.rolling_active_users (distinct pairs → day-offset explode)
+    "ev_rolling_active": """
+WITH pairs AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+         user_id
+  FROM events
+),
+anchors AS (
+  SELECT p.user_id, p.day_epoch + 86400 * o.off AS day_epoch
+  FROM pairs p, (SELECT unnest(range(0, 7)) AS off) o
+)
+SELECT a.day_epoch, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_7d
+FROM anchors a
+JOIN (SELECT DISTINCT day_epoch FROM pairs) r ON r.day_epoch = a.day_epoch
+GROUP BY 1
+""",
+    # daily new vs returning users — mirrors events.new_users_daily
+    "ev_new_users": """
+WITH pairs AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+         user_id
+  FROM events
+),
+actives AS (
+  SELECT day_epoch, CAST(count(*) AS BIGINT) AS n_active
+  FROM pairs GROUP BY 1
+),
+news AS (
+  SELECT first_day AS day_epoch, CAST(count(*) AS BIGINT) AS n_new
+  FROM (SELECT user_id, min(day_epoch) AS first_day FROM pairs GROUP BY 1)
+  GROUP BY 1
+)
+SELECT a.day_epoch,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(a.n_active - coalesce(n.n_new, 0) AS BIGINT) AS n_returning
+FROM actives a LEFT JOIN news n ON n.day_epoch = a.day_epoch
 """,
     # S16 throttle audit — mirrors events.throttle_audit
     "ev_throttle_audit": f"""

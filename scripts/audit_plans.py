@@ -347,6 +347,24 @@ def main() -> None:
                       "K_CELLS·DIM-row key space — the treeAggregate shape "
                       "of an MLlib k-means step"]))
 
+    # --- kmeans iterate: K-row broadcast re-score, partial-max argmax -----
+    kmq = QUERIES["sim_kmeans_iterate"](spark, SF)
+    kmplan = fmt_plan(kmq)
+    check("kmeans broadcast rescore",
+          ("BroadcastNestedLoopJoin" in kmplan
+           or "BroadcastHashJoin" in kmplan)
+          and "SortMergeJoin" not in kmplan
+          and "CartesianProduct" not in kmplan,
+          "re-scoring must broadcast the K-row centroid table, never "
+          "shuffle the vectors against it")
+    check("kmeans partial argmax", "partial_max" in kmplan,
+          "nearest-centroid argmax must be max(struct) — map-combinable, "
+          "no per-vector rank window")
+    sections.append(("sim_kmeans_iterate", kmplan,
+                     ["centroid refit = one partial-agg shuffle (≤ K·DIM "
+                      "rows); re-assign = K-row broadcast + partial_max "
+                      "argmax — the gated Lloyd loop body"]))
+
     # --- throttle audit: two stacked partial aggs, no window, no join -----
     thq = QUERIES["ev_throttle_audit"](spark, SF)
     thplan = fmt_plan(thq)
@@ -359,6 +377,20 @@ def main() -> None:
     sections.append(("ev_throttle_audit", thplan,
                      ["groupBy(user, minute) partial counts → per-user "
                       "rollup reusing the user prefix; no window, no join"]))
+
+    # --- rolling actives: distinct-pairs explode, no sliding window -------
+    raq = QUERIES["ev_rolling_active"](spark, SF)
+    raplan = fmt_plan(raq)
+    check("rolling active no window", ") Window" not in raplan,
+          "sliding distinct must be the pairs-explode decomposition, not "
+          "a range window (unbounded per-day sort)")
+    check("rolling active pairs-first",
+          raplan.count("HashAggregate") >= 4,
+          "the (user, day) distinct must partial-agg BEFORE the 7× "
+          "explode — shuffle volume is 7× the pairs, not 7× the events")
+    sections.append(("ev_rolling_active", raplan,
+                     ["distinct (user, day) partial-agg → ≤7 anchor rows "
+                      "per pair → per-day countDistinct; no window"]))
 
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
