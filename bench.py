@@ -274,7 +274,9 @@ def main_default(args) -> None:
         "metric": "pipeline_e2e_sec",
         "value": result["value"],
         "unit": "sec",
-        "queries": {q: round(t, 2) for q, t in queries.items()},
+        # 0.1 s resolution keeps the line inside the driver's 2000-char
+        # window at 70+ queries; full precision is in BENCH_LOCAL.json
+        "queries": {q: round(t, 1) for q, t in queries.items()},
         "sf": sf,
         "streams": e2e["streams"],
         "seq_per_sec": result["seq_per_sec"],

@@ -583,6 +583,31 @@ def q_mm_format_stats(spark, sf_dir):
 # ------------------------------------------------ multimodal queries
 
 
+def q_mm_dedup_media(spark, sf_dir):
+    """Exact media dedup under the hash gate. sf docs are unique, so
+    duplicates are synthesized the way a crawler sees them — docs ≡0 mod 9
+    re-crawled under new ids (doc_id+1e6, same payload); the digest groups
+    must pair exactly those (and the sha parity of every singleton row
+    proves the Spark/DuckDB hash agreement byte-for-byte)."""
+    docs = _docs(spark, sf_dir)
+    echo = docs.where(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return fmm.media_dedup(fmm.attach_media(docs.unionByName(echo)))
+
+
+def q_ev_distinct_users(spark, sf_dir):
+    return fev.distinct_users(_events(spark, sf_dir))
+
+
+def q_ev_hll_distinct(spark, sf_dir):
+    return fev.hll_distinct(_events(spark, sf_dir))
+
+
+def q_text_length_buckets(spark, sf_dir):
+    return ftext.length_buckets(_docs(spark, sf_dir))
+
+
 def q_mm_media_meta(spark, sf_dir):
     return fmm.media_meta(_docs(spark, sf_dir))
 
@@ -664,6 +689,10 @@ QUERIES: dict[str, QueryFn] = {
     "sim_centroid_update": q_sim_centroid_update,
     "sim_kmeans_iterate": q_sim_kmeans_iterate,
     "tbl_merge_upsert": q_tbl_merge_upsert,
+    "mm_dedup_media": q_mm_dedup_media,
+    "ev_distinct_users": q_ev_distinct_users,
+    "ev_hll_distinct": q_ev_hll_distinct,
+    "text_length_buckets": q_text_length_buckets,
 }
 
 ORACLES: dict[str, str] = {

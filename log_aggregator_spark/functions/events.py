@@ -605,6 +605,52 @@ def throttle_audit(events: DataFrame, limit_per_min: int = PER_MINUTE_LIMIT) -> 
     )
 
 
+def distinct_users(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type in the explicit
+    two-stage skew-safe form: stage 1 reduces to distinct
+    (event_type, user_id) pairs — the shuffle key carries user_id, so a hot
+    event_type (one type = half of 10^12 rows) spreads across every
+    partition instead of landing on one task — and stage 2 is an ordinary
+    map-combinable count/sum on the now-bounded pair table. This is the
+    rewrite Spark applies internally for a single DISTINCT aggregate, made
+    explicit so the intermediate pair frequencies are reusable (n_events
+    comes for free) and so the shape survives when combined with other
+    aggregates (where Spark would fall back to Expand and double the scan).
+    (event_type, n_users, n_events)."""
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+def hll_distinct(events: DataFrame, rsd: float = 0.02, tol_ppm: int = 80_000) -> DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog++
+    (``approx_count_distinct``) — the only affordable distinct at 10^12
+    rows (constant memory per group, one pass, fully map-combinable, no
+    pair blowup) — gated like ``lsh_recall``: the query computes BOTH the
+    sketch and the exact count and emits ``hll_within_tol`` = 1 iff the
+    sketch lands within ``tol_ppm`` of exact, so the driver's hash gate
+    certifies measured sketch accuracy (HLL++ is deterministic — same
+    xxhash64 inputs, same registers — so this is stable across runs).
+    The exact side exists only for the gate; production reads the sketch.
+    (event_type, n_users_exact, hll_within_tol)."""
+    exact = distinct_users(events).select("event_type", "n_users")
+    approx = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("n_approx")
+    )
+    err_ppm = (
+        F.abs(F.col("n_approx") - F.col("n_users")) * 1_000_000
+    )
+    return exact.join(approx, "event_type").select(
+        "event_type",
+        F.col("n_users").alias("n_users_exact"),
+        (err_ppm <= F.col("n_users") * tol_ppm).cast("long").alias("hll_within_tol"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Regex field extraction from the semi-structured props column (the
     grok moment applied to telemetry payloads; engine-portable regexp so

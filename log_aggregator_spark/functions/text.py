@@ -493,3 +493,48 @@ def corpus_mix(
             F.sum("kept").cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------- length bucketing
+
+
+def length_buckets(documents: DataFrame) -> DataFrame:
+    """Context-length bucketing for training-batch planning: every doc goes
+    to the power-of-2 bucket of its whitespace token count (bucket_pow =
+    floor(log2(n_tok)), computed as length(bin(n_tok))-1 — pure integer,
+    so both engines agree exactly even at bucket boundaries where float
+    log2 rounds differently). Per bucket: doc count, token mass, and the
+    mass share in ppm (integer div against the corpus total).
+
+    Scale shape: one scan + one tiny partial-agg groupBy (≤ ~40 buckets
+    exist for any corpus — int range); the ppm share is a partition-less
+    window over the AGGREGATED table — bounded at ≤ ~40 rows by
+    construction, so the single-task window is free and the corpus is
+    scanned exactly once (a crossJoin against an agg of the same lineage
+    would re-scan it). (bucket_pow, bucket_lo, n_docs, sum_tok,
+    share_ppm).
+    """
+    n_tok = F.size(words(F.col("text"))).cast("long")
+    pow_col = (F.length(F.bin(F.col("n_tok"))) - 1).cast("int")
+    per_bucket = (
+        documents.select(n_tok.alias("n_tok"))
+        .select(
+            pow_col.alias("bucket_pow"),
+            F.col("n_tok"),
+        )
+        .groupBy("bucket_pow")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("sum_tok").over(Window.partitionBy())
+    return per_bucket.withColumn("total_tok", total).select(
+        F.col("bucket_pow").cast("long").alias("bucket_pow"),
+        F.expr("shiftleft(1L, cast(bucket_pow as int))").cast("long").alias("bucket_lo"),
+        "n_docs",
+        "sum_tok",
+        F.expr("sum_tok * 1000000L div total_tok").alias("share_ppm"),
+    )

@@ -1447,3 +1447,54 @@ SELECT fmt, CAST(count(*) AS BIGINT) AS n_objects,
 FROM mf GROUP BY fmt
 """,
 }
+
+
+# ---- session additions: media dedup, distinct users, length buckets ----
+
+MM_SQL["mm_dedup_media"] = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0
+)
+SELECT sha256('FAKE' || text) AS content_sha,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+FROM u
+GROUP BY sha256('FAKE' || text)
+"""
+
+EVENTS_SQL["ev_distinct_users"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+# The oracle asserts the exact side AND that the sketch landed inside the
+# tolerance (hll_within_tol is constant-true on the oracle side; the Spark
+# side EARNS it by comparing approx_count_distinct to exact — same gate
+# pattern as sim_lsh_recall).
+EVENTS_SQL["ev_hll_distinct"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(1 AS BIGINT) AS hll_within_tol
+FROM events GROUP BY event_type
+"""
+
+TEXT_SQL["text_length_buckets"] = """
+WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok FROM documents
+),
+g AS (
+  SELECT length(bin(n_tok)) - 1 AS bucket_pow,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok
+  FROM t GROUP BY 1
+)
+SELECT CAST(bucket_pow AS BIGINT) AS bucket_pow,
+       CAST(1::BIGINT << bucket_pow AS BIGINT) AS bucket_lo,
+       n_docs, sum_tok,
+       CAST(sum_tok * 1000000 // (SELECT sum(sum_tok) FROM g) AS BIGINT) AS share_ppm
+FROM g
+"""

@@ -399,6 +399,53 @@ def main() -> None:
     sections.append(("sim_brute_topk", bplan,
                      ["broadcast nested-loop: exact O(n²) baseline, small side broadcast"]))
 
+    # --- media dedup: digests shuffle, payloads never do ------------------
+    mdq = QUERIES["mm_dedup_media"](spark, SF)
+    mdplan = fmt_plan(mdq)
+    check("media dedup digest-only shuffle",
+          all("media#" not in x and "text#" not in x
+              for x in exchange_inputs(mdplan)),
+          "payload bytes must hash in the scan projection — only the "
+          "32-byte digest crosses the exchange")
+    check("media dedup partial agg", mdplan.count("HashAggregate") >= 2,
+          "count/min survivor pick must map-side combine")
+    sections.append(("mm_dedup_media", mdplan,
+                     ["sha2-256 computed pre-shuffle; the exchange carries "
+                      "(digest, doc_id) — ~40 B/row at any object size"]))
+
+    # --- distinct users: explicit two-stage, no Expand --------------------
+    duq = QUERIES["ev_distinct_users"](spark, SF)
+    duplan = fmt_plan(duq)
+    check("distinct users no expand", ") Expand" not in duplan,
+          "exact distinct must be the explicit pair-reduction, not an "
+          "Expand doubling the scanned rows")
+    check("distinct users stacked partial aggs",
+          duplan.count("HashAggregate") >= 4,
+          "(event_type, user_id) pairs and the per-type rollup must both "
+          "partial-combine map-side")
+    sections.append(("ev_distinct_users", duplan,
+                     ["stage 1 shuffles on (event_type, user_id) — a hot "
+                      "type spreads over all partitions; stage 2 rolls up "
+                      "the bounded pair table"]))
+
+    # --- length buckets: one scan, broadcast total, partial aggs ----------
+    lbq = QUERIES["text_length_buckets"](spark, SF)
+    lbplan = fmt_plan(lbq)
+    check("length buckets single scan", lbplan.count("Scan parquet") <= 2,
+          "the corpus total must come from the per-bucket aggregate, not "
+          "a second scan (plan shows the scan once in tree + once in "
+          "detail; a crossJoin-with-own-agg would re-scan)")
+    check("length buckets joinless", "Join" not in lbplan,
+          "the total rides a window over the ≤ ~40-row aggregate — no "
+          "join, no second lineage")
+    check("length buckets partial agg", lbplan.count("HashAggregate") >= 2,
+          "bucket counts must map-side combine before the ≤ ~40-key "
+          "exchange")
+    sections.append(("text_length_buckets", lbplan,
+                     ["≤ ~40 bucket keys → partial-agg collapses map-side; "
+                      "the partition-less total window runs on the bounded "
+                      "aggregate (≤ ~40 rows), never the corpus"]))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n")
         f.write("Generated by `python scripts/audit_plans.py` — asserts the "

@@ -11,9 +11,10 @@ from log_aggregator_spark.entry_queries import QUERIES
 
 
 def test_compact_line_fits_driver_window():
-    # worst-case realistic timings: every query at 100+ seconds (7 chars)
-    queries = {name: 123.456 for name in QUERIES}
-    queries["pipeline_e2e"] = 123.456
+    # worst-case realistic timings: every query at 100+ seconds, rounded
+    # to the 0.1 s resolution bench.py prints (5 chars each)
+    queries = {name: 123.5 for name in QUERIES}
+    queries["pipeline_e2e"] = 123.5
     compact = {
         "metric": "pipeline_e2e_sec",
         "value": 123.456,

@@ -172,3 +172,34 @@ def test_retention_gap_breaks_streak_and_permille(spark):
     assert got[e2]["n_active"] == 2 and got[e2]["n_retained"] == 1
     e3 = e2 + 86400
     assert got[e3]["n_active"] == 2 and got[e3]["n_retained"] == 0
+
+
+def test_distinct_users_exact_counts(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 10:01:00", 7, "click", 1.0),
+            (3, "2024-01-01 10:02:00", 8, "click", 1.0),
+            (4, "2024-01-01 10:03:00", 9, "view", 1.0),
+        ],
+    )
+    got = {r["event_type"]: r for r in fev.distinct_users(ev).collect()}
+    assert got["click"]["n_users"] == 2 and got["click"]["n_events"] == 3
+    assert got["view"]["n_users"] == 1 and got["view"]["n_events"] == 1
+
+
+def test_hll_distinct_within_tolerance_and_deterministic(spark):
+    ev = _ev(
+        spark,
+        [
+            (i, "2024-01-01 10:00:00", i % 37, "click", 1.0)
+            for i in range(200)
+        ],
+    )
+    a = fev.hll_distinct(ev).collect()
+    b = fev.hll_distinct(ev).collect()
+    assert a == b  # HLL++ registers are hash-deterministic
+    (row,) = a
+    assert row["n_users_exact"] == 37
+    assert row["hll_within_tol"] == 1

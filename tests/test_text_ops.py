@@ -75,3 +75,25 @@ def test_tfidf_tie_breaks_lexicographic_and_caps_k(spark):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def test_length_buckets_power_of_two_boundaries(spark):
+    # 8 words sits in bucket_pow=3 (lo 8); 15 in 3; 16 opens bucket 4.
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 8)),
+            (2, " ".join(["w"] * 15)),
+            (3, " ".join(["w"] * 16)),
+        ],
+        schema="doc_id long, text string",
+    )
+    from log_aggregator_spark.functions.text import length_buckets
+
+    got = {r["bucket_pow"]: r for r in length_buckets(docs).collect()}
+    assert set(got) == {3, 4}
+    assert got[3]["bucket_lo"] == 8 and got[3]["n_docs"] == 2
+    assert got[3]["sum_tok"] == 23
+    assert got[4]["bucket_lo"] == 16 and got[4]["sum_tok"] == 16
+    # ppm shares: integer floor-div against the 39-token total
+    assert got[3]["share_ppm"] == 23 * 1_000_000 // 39
+    assert got[4]["share_ppm"] == 16 * 1_000_000 // 39
