@@ -592,3 +592,35 @@ class TableGroup:
             orphan_min_age_sec,
         )
         return {"expired": expired, "deleted_files": deleted}
+
+
+# ---------------------------------------------------------- bucketed layout
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist ``df`` in Spark's bucketed managed-table layout (the
+    warehouse analog of an Iceberg ``bucket(N, col)`` partition transform):
+    rows are hash-distributed into ``n_buckets`` files by ``bucket_col``
+    and optionally sorted within each bucket.
+
+    Why it matters at 100 TB: a table bucketed on its join/agg key carries
+    its partitioning IN THE LAYOUT — every downstream
+    join-on-key against another table bucketed the same way, and every
+    groupBy(key), plans with ZERO shuffle Exchange (Catalyst reads the
+    bucket spec from the catalog and reuses the distribution; with
+    ``sort_cols`` the sort-merge join's sort disappears too). For the
+    routed corpus re-read by doc_id-keyed consumers (dedup, packing,
+    resume audits), bucketing converts the biggest recurring shuffle into
+    a plain co-located scan. ``tests/test_bucketing.py`` asserts the
+    shuffle-free plans.
+    """
+    w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").saveAsTable(table_name)
