@@ -275,14 +275,23 @@ def main_default(args) -> None:
         "value": result["value"],
         "unit": "sec",
         # 0.1 s resolution keeps the line inside the driver's 2000-char
-        # window at 70+ queries; full precision is in BENCH_LOCAL.json
+        # window at 70+ queries; full precision (plus streams/tokens and
+        # the run list) is in BENCH_LOCAL.json
         "queries": {q: round(t, 1) for q, t in queries.items()},
         "sf": sf,
-        "streams": e2e["streams"],
         "seq_per_sec": result["seq_per_sec"],
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:  # belt-and-braces: drop per-query detail, keep headline
+    if len(line) > 1950:
+        # graceful degrade: keep the slowest 40 with full keys, fold the
+        # tail into one labeled sum — never a silently-null driver parse
+        top = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:40])
+        rest = round(sum(t for q, t in queries.items() if q not in top), 1)
+        top["_other_sum"] = rest
+        top["pipeline_e2e"] = queries["pipeline_e2e"]
+        compact["queries"] = {q: round(t, 1) for q, t in top.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # belt-and-braces: headline only
         compact["queries"] = {"pipeline_e2e": result["value"]}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

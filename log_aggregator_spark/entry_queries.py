@@ -367,6 +367,22 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     return fdedup.incremental_near_lsh(index_keys, batch_keys, batch_ids)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Containment dedup over a corpus with deterministic snippet docs:
+    docs ≡0 mod 11 contribute a 12-word prefix snippet under doc_id+3e6.
+    A prefix's 3-shingles are a subset of its source's, and the df-cap
+    removes any capped shingle from BOTH sides of the pair, so the snippet
+    is contained at exactly 1.0 — Jaccard would score it well under the
+    dedup threshold (the asymmetric case this operator exists for)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = ftext.words(F.col("text"))
+    snip = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 12)).alias("text"),
+    )
+    return fdedup.containment_pairs(docs.unionByName(snip))
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the deterministic 3/16 hash-sample of
     docs plays the held-out benchmark; training docs sharing an 8-gram
@@ -572,6 +588,26 @@ def q_tbl_merge_upsert(spark, sf_dir):
     )
 
 
+def q_tbl_time_travel(spark, sf_dir):
+    """Snapshot time travel under the hash gate: commit the corpus into a
+    SnapshotTable in two snapshots (v1 = doc_id ≡0 mod 3, v2 appends the
+    rest), then read AS OF snapshot 1 and AS OF current and emit both
+    tagged — the read-at-snapshot machinery the resumable job leans on,
+    proven value-exact (not just row-counted) against an oracle that
+    reconstructs each version from the base table."""
+    import tempfile
+
+    from .tableio import SnapshotTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    t = SnapshotTable(tempfile.mkdtemp(prefix="tt_"))
+    t.commit(docs.where(F.col("doc_id") % 3 == 0))
+    t.commit(docs.where(F.col("doc_id") % 3 != 0))
+    v1 = t.read(spark, snapshot=1).withColumn("snap", F.lit(1).cast("long"))
+    v2 = t.read(spark).withColumn("snap", F.lit(2).cast("long"))
+    return v1.unionByName(v2).select("snap", "doc_id", "source")
+
+
 def q_text_ngram_counts(spark, sf_dir):
     return ftext.ngram_counts(_docs(spark, sf_dir))
 
@@ -693,6 +729,8 @@ QUERIES: dict[str, QueryFn] = {
     "ev_distinct_users": q_ev_distinct_users,
     "ev_hll_distinct": q_ev_hll_distinct,
     "text_length_buckets": q_text_length_buckets,
+    "dedup_containment": q_dedup_containment,
+    "tbl_time_travel": q_tbl_time_travel,
 }
 
 ORACLES: dict[str, str] = {

@@ -641,3 +641,65 @@ def incremental_exact(corpus: DataFrame, batch: DataFrame) -> DataFrame:
         )
         .select("doc_id", "fp", "n_batch_dups")
     )
+
+
+# ------------------------------------------------------- containment
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    df_cap: int = DF_CAP,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A in B) = |A∩B| / |A| — the dedup
+    relation Jaccard structurally misses: a snippet quoted inside (or a doc
+    boilerplate-wrapped by) a much larger doc has low Jaccard (union is
+    dominated by the big side) but containment ≈ 1 on the small side. The
+    standard complement to Jaccard in crawl dedup (Broder's original
+    resemblance/containment pair).
+
+    Same scale shape as ``jaccard_pairs``: candidate pairs from the
+    df-capped shingle equi-join (never all-pairs), intersections
+    partial-agg'd, sizes joined back; the two directed containments are
+    judged with exact integer cross-multiplication. Emits undirected rows
+    (doc_a < doc_b) carrying both verdicts, filtered to pairs where at
+    least one direction clears ``threshold_num/threshold_den``.
+    (doc_a, doc_b, inter, na, nb, a_in_b, b_in_a).
+    """
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else _capped_shingles(documents, n=n, df_cap=df_cap)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    a_in_b = (den * F.col("inter") >= num * F.col("na")).cast("long")
+    b_in_a = (den * F.col("inter") >= num * F.col("nb")).cast("long")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            a_in_b.alias("a_in_b"),
+            b_in_a.alias("b_in_a"),
+        )
+        .where((F.col("a_in_b") == 1) | (F.col("b_in_a") == 1))
+    )

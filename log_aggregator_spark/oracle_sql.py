@@ -1498,3 +1498,51 @@ SELECT CAST(bucket_pow AS BIGINT) AS bucket_pow,
        CAST(sum_tok * 1000000 // (SELECT sum(sum_tok) FROM g) AS BIGINT) AS share_ppm
 FROM g
 """
+
+
+# Containment prelude: the sh3c pipeline applied to the snippet-augmented
+# union corpus (mirrors q_dedup_containment's synthesis; cap constant from
+# the same module as the Spark plan).
+TEXT_SQL["dedup_containment"] = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+uw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM u
+),
+ush AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words)-2, 1) + 1)) AS i
+        FROM uw)
+),
+ushc AS (
+  SELECT doc_id, shingle FROM ush
+  WHERE shingle IN (SELECT shingle FROM ush GROUP BY 1 HAVING count(*) <= __DFCAP__)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ushc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM ushc a JOIN ushc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.n_sh AS BIGINT) AS na, CAST(sb.n_sh AS BIGINT) AS nb,
+       CAST(5 * inter >= 4 * sa.n_sh AS BIGINT) AS a_in_b,
+       CAST(5 * inter >= 4 * sb.n_sh AS BIGINT) AS b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * inter >= 4 * sa.n_sh OR 5 * inter >= 4 * sb.n_sh
+""".replace("__DFCAP__", str(DF_CAP))
+
+
+MERGE_SQL["tbl_time_travel"] = """
+SELECT CAST(1 AS BIGINT) AS snap, doc_id, source FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS snap, doc_id, source FROM documents
+"""

@@ -446,6 +446,19 @@ def main() -> None:
                       "the partition-less total window runs on the bounded "
                       "aggregate (≤ ~40 rows), never the corpus"]))
 
+    # --- containment: equi-join candidates, never all-pairs ---------------
+    cnq = QUERIES["dedup_containment"](spark, SF)
+    cnplan = fmt_plan(cnq)
+    check("containment no cartesian", "CartesianProduct" not in cnplan,
+          "containment candidates must come from the df-capped shingle "
+          "equi-join, never an all-pairs comparison")
+    check("containment partial agg", cnplan.count("HashAggregate") >= 2,
+          "pair intersections must map-side combine")
+    sections.append(("dedup_containment", cnplan,
+                     ["same candidate lattice as Jaccard (capped-shingle "
+                      "equi-join); asymmetric verdicts via integer "
+                      "cross-multiplication — no floats, no second join"]))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n")
         f.write("Generated by `python scripts/audit_plans.py` — asserts the "

@@ -374,3 +374,24 @@ def test_corpus_mix_weights_override_and_determinism(spark):
     # default policy: every rate within 1..8 of 16
     for r in ft.corpus_mix(docs).collect():
         assert 1 <= r["rate_16ths"] <= 8
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """A 12-word snippet inside a 120-word doc: containment flags it
+    (a_in_b = 1); Jaccard at the same corpus scores it ~0.09 — the
+    asymmetric case the operator exists for."""
+    import log_aggregator_spark.functions.dedup as fd
+
+    base_words = [f"w{i}" for i in range(120)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(base_words[:12]))],
+        schema="doc_id long, text string",
+    )
+    got = fd.containment_pairs(docs).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # snippet fully contained: inter == nb (the snippet's shingle count)
+    assert r["inter"] == r["nb"] and r["b_in_a"] == 1 and r["a_in_b"] == 0
+    jac = fd.jaccard_pairs(docs).collect()
+    assert jac == []  # 10/118 well under the 0.5 jaccard threshold
