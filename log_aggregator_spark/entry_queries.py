@@ -282,6 +282,12 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_dedup_rate_by_source(spark, sf_dir):
+    return fdedup.dup_rate_by_source(
+        _docs(spark, sf_dir), clusters=_clusters(spark, sf_dir)
+    )
+
+
 def q_text_vocab(spark, sf_dir):
     return ftext.vocabulary(_docs(spark, sf_dir))
 
@@ -731,6 +737,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_length_buckets": q_text_length_buckets,
     "dedup_containment": q_dedup_containment,
     "tbl_time_travel": q_tbl_time_travel,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
 }
 
 ORACLES: dict[str, str] = {

@@ -703,3 +703,31 @@ def containment_pairs(
         )
         .where((F.col("a_in_b") == 1) | (F.col("b_in_a") == 1))
     )
+
+
+def dup_rate_by_source(
+    documents: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
+    """Per-source duplication report — the dedup health metric a corpus
+    pipeline publishes per crawl source: how many docs, how many distinct
+    duplicate clusters they fall into, and the excess (docs minus
+    clusters) as a ppm rate. Accepts a precomputed ``duplicate_clusters``
+    result via ``clusters`` (the materialize-once seam, same as
+    ``survivors_by_quality``).
+
+    Scale shape: ids-only equi-join (doc_id → source attach) + one
+    groupBy(source) with an exact distinct on cluster_id — source
+    cardinality is tiny and the distinct's internal rewrite shuffles on
+    (source, cluster_id), so a hot source spreads across partitions.
+    (source, n_docs, n_clusters, dup_rate_ppm)."""
+    c = clusters if clusters is not None else duplicate_clusters(documents)
+    j = documents.select("doc_id", "source").join(c.select("doc_id", "cluster_id"), "doc_id")
+    n_docs = F.count("*")
+    n_clusters = F.countDistinct("cluster_id")
+    return j.groupBy("source").agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_clusters.cast("long").alias("n_clusters"),
+        F.expr(
+            "(count(*) - count(DISTINCT cluster_id)) * 1000000L div count(*)"
+        ).alias("dup_rate_ppm"),
+    )

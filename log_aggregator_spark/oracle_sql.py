@@ -1546,3 +1546,13 @@ SELECT CAST(1 AS BIGINT) AS snap, doc_id, source FROM documents WHERE doc_id % 3
 UNION ALL
 SELECT CAST(2 AS BIGINT) AS snap, doc_id, source FROM documents
 """
+
+
+TEXT_SQL["dedup_rate_by_source"] = _CLUSTERS_CTES + """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters,
+       CAST((count(*) - count(DISTINCT c.cluster_id)) * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm
+FROM clusters c JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
