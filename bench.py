@@ -309,6 +309,7 @@ def _run_pinned(cores: int, args, lc_executors: int = 0) -> dict:
     driver (a real cluster's driver node is likewise outside the executor
     allocation)."""
     tag = f"exec_{lc_executors}" if lc_executors else str(cores)
+    os.makedirs(args.workdir, exist_ok=True)
     json_out = os.path.join(args.workdir, f"scaling_{tag}.json")
     cmd = [
         sys.executable, __file__,
@@ -380,7 +381,7 @@ def main_scaling(args) -> None:
         summaries.append(eff_summary(
             lo, hi, "1 executor (4 cores)", "4 executors (4 cores each)", 4.0))
 
-    pairs = [(args.n, args.n * 4)]
+    pairs = [] if args.skip_local_pair else [(args.n, args.n * 4)]
     if args.also_4x16 and args.n != 4:
         pairs.append((4, 16))
     results: dict[int, dict] = {}
@@ -490,6 +491,9 @@ if __name__ == "__main__":
                    help="additionally measure the 4-vs-16 pair (small-N cache-share artifact)")
     p.add_argument("--lc-executors", type=int, default=0,
                    help="run on local-cluster[N,4,6144] (true multi-executor JVMs)")
+    p.add_argument("--skip-local-pair", action="store_true",
+                   help="scaling mode: run only the executor pair "
+                        "(local-cluster 1 vs 4), skip the local[N] pairs")
     p.add_argument("--skip-executor-pair", action="store_true",
                    help="scaling mode: skip the 1-vs-4 executor (local-cluster) pair")
     p.add_argument("--cores", default=None)
