@@ -319,8 +319,13 @@ def _run_pinned(cores: int, args, lc_executors: int = 0) -> dict:
         "--skip-queries",
         "--json-out", json_out,
     ]
+    # forward the memory-shape knobs — an 8M-doc run at the 32-partition
+    # default OOMs a 6g executor (partitions must shrink to fit the heap)
+    if args.shuffle_partitions:
+        cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
     if lc_executors:
-        cmd += ["--lc-executors", str(lc_executors)]
+        cmd += ["--lc-executors", str(lc_executors),
+                "--lc-mem-mb", str(args.lc_mem_mb)]
         pin_cores = 4 * lc_executors + 1
     else:
         cmd += ["--cores", str(cores)]
@@ -374,6 +379,18 @@ def main_scaling(args) -> None:
             "multiplier": args.multiplier,
             "synth_docs": args.synth_docs,
         }
+
+    # pre-materialize the synth corpus UNPINNED in a full-size local JVM:
+    # generating 8M docs inside a single pinned 6 GB executor OOMs before
+    # the measurement even starts (the cached corpus is reused by every
+    # pinned subprocess via the _DONE marker)
+    from log_aggregator_spark.session import get_spark
+
+    os.makedirs(args.workdir, exist_ok=True)
+    spark = get_spark("bench-materialize", cores="*",
+                      extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")})
+    materialize_synth(spark, args.synth_docs, args.workdir)
+    spark.stop()
 
     if not args.skip_executor_pair:
         lo = _run_pinned(0, args, lc_executors=1)
