@@ -285,9 +285,10 @@ def main_default(args) -> None:
     if len(line) > 1950:
         # graceful degrade: keep the slowest 40 with full keys, fold the
         # tail into one labeled sum — never a silently-null driver parse
-        top = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:40])
-        rest = round(sum(t for q, t in queries.items() if q not in top), 1)
-        top["_other_sum"] = rest
+        named = {q: t for q, t in queries.items() if q != "pipeline_e2e"}
+        top = dict(sorted(named.items(), key=lambda kv: -kv[1])[:40])
+        top["_other_sum"] = round(
+            sum(t for q, t in named.items() if q not in top), 1)
         top["pipeline_e2e"] = queries["pipeline_e2e"]
         compact["queries"] = {q: round(t, 1) for q, t in top.items()}
         line = json.dumps(compact, separators=(",", ":"))
@@ -361,6 +362,11 @@ def main_scaling(args) -> None:
     2. SECONDARY — pinned single-JVM local[N] vs local[4N] (default 8 vs
        32, the driver's example pair).
     """
+    if args.skip_local_pair and args.skip_executor_pair:
+        raise SystemExit(
+            "--skip-local-pair and --skip-executor-pair together leave "
+            "nothing to measure"
+        )
     summaries = []
 
     def eff_summary(lo_res, hi_res, lo_label, hi_label, ratio):

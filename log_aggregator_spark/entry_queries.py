@@ -601,17 +601,22 @@ def q_tbl_time_travel(spark, sf_dir):
     tagged — the read-at-snapshot machinery the resumable job leans on,
     proven value-exact (not just row-counted) against an oracle that
     reconstructs each version from the base table."""
-    import tempfile
+    def build():
+        import tempfile
 
-    from .tableio import SnapshotTable
+        from .tableio import SnapshotTable
 
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    t = SnapshotTable(tempfile.mkdtemp(prefix="tt_"))
-    t.commit(docs.where(F.col("doc_id") % 3 == 0))
-    t.commit(docs.where(F.col("doc_id") % 3 != 0))
-    v1 = t.read(spark, snapshot=1).withColumn("snap", F.lit(1).cast("long"))
-    v2 = t.read(spark).withColumn("snap", F.lit(2).cast("long"))
-    return v1.unionByName(v2).select("snap", "doc_id", "source")
+        docs = _docs(spark, sf_dir).select("doc_id", "source")
+        t = SnapshotTable(tempfile.mkdtemp(prefix="tt_"))
+        t.commit(docs.where(F.col("doc_id") % 3 == 0))
+        t.commit(docs.where(F.col("doc_id") % 3 != 0))
+        v1 = t.read(spark, snapshot=1).withColumn("snap", F.lit(1).cast("long"))
+        v2 = t.read(spark).withColumn("snap", F.lit(2).cast("long"))
+        return v1.unionByName(v2).select("snap", "doc_id", "source")
+
+    # memoized: ONE tt_* dir per (session, sf) — repeated gate/bench calls
+    # must not accumulate table copies in TMPDIR
+    return _memo(spark, sf_dir, "time_travel", build)
 
 
 def q_text_ngram_counts(spark, sf_dir):

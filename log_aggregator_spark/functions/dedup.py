@@ -82,6 +82,28 @@ def exact_groups(documents: DataFrame) -> DataFrame:
 # ------------------------------------------------------- n-gram Jaccard
 
 
+def _pair_intersections(sh: DataFrame) -> DataFrame:
+    """The shared candidate lattice under Jaccard AND containment: distinct
+    (doc_id, shingle) rows self-equi-join on the shingle key (doc_a < doc_b
+    — never all-pairs), intersections partial-agg'd, per-doc set sizes
+    joined back. (doc_a, doc_b, inter, na, nb)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -105,19 +127,8 @@ def jaccard_pairs(
         if shingles_df is not None
         else _capped_shingles(documents, n=n, df_cap=df_cap)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_intersections(sh)
         .withColumn("uni", (F.col("na") + F.col("nb") - F.col("inter")).cast("long"))
         .where(threshold_den * F.col("inter") >= threshold_num * F.col("uni"))
         .select("doc_a", "doc_b", "inter", "uni")
@@ -674,26 +685,11 @@ def containment_pairs(
         if shingles_df is not None
         else _capped_shingles(documents, n=n, df_cap=df_cap)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     num, den = F.lit(threshold_num), F.lit(threshold_den)
     a_in_b = (den * F.col("inter") >= num * F.col("na")).cast("long")
     b_in_a = (den * F.col("inter") >= num * F.col("nb")).cast("long")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _pair_intersections(sh)
         .select(
             "doc_a", "doc_b", "inter",
             F.col("na").cast("long").alias("na"),

@@ -1457,11 +1457,11 @@ WITH u AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0
 )
-SELECT sha256('FAKE' || text) AS content_sha,
+SELECT md5('FAKE' || text) AS content_sha,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
 FROM u
-GROUP BY sha256('FAKE' || text)
+GROUP BY md5('FAKE' || text)
 """
 
 EVENTS_SQL["ev_distinct_users"] = """
