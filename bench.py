@@ -151,6 +151,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _compact_t(t: float):
+    """Driver-line timing: 0.1 s resolution under 10 s, whole seconds
+    above — bounds every value at 3-4 chars so the one-line record scales
+    past 80 queries."""
+    return round(t, 1) if t < 10 else int(round(t))
+
+
 def lc_master(n_exec: int, cores_per: int = 4, mem_mb: int = 6144) -> str:
     """True multi-executor local simulation: each executor is its own JVM
     with its own heap, GC, python workers, and shuffle files — the faithful
@@ -274,10 +281,11 @@ def main_default(args) -> None:
         "metric": "pipeline_e2e_sec",
         "value": result["value"],
         "unit": "sec",
-        # 0.1 s resolution keeps the line inside the driver's 2000-char
-        # window at 70+ queries; full precision (plus streams/tokens and
-        # the run list) is in BENCH_LOCAL.json
-        "queries": {q: round(t, 1) for q, t in queries.items()},
+        # 0.1 s resolution below 10 s, whole seconds above: keeps the line
+        # inside the driver's 2000-char window at ~80 queries; full
+        # precision (plus streams/tokens and the run list) is in
+        # BENCH_LOCAL.json
+        "queries": {q: _compact_t(t) for q, t in queries.items()},
         "sf": sf,
         "seq_per_sec": result["seq_per_sec"],
     }
@@ -290,7 +298,7 @@ def main_default(args) -> None:
         top["_other_sum"] = round(
             sum(t for q, t in named.items() if q not in top), 1)
         top["pipeline_e2e"] = queries["pipeline_e2e"]
-        compact["queries"] = {q: round(t, 1) for q, t in top.items()}
+        compact["queries"] = {q: _compact_t(t) for q, t in top.items()}
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:  # belt-and-braces: headline only
         compact["queries"] = {"pipeline_e2e": result["value"]}

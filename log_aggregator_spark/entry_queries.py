@@ -282,6 +282,20 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_text_split_assign(spark, sf_dir):
+    return ftext.split_assign(_docs(spark, sf_dir))
+
+
+def q_sim_norm_stats(spark, sf_dir):
+    return fsim.norm_stats(_emb(spark, sf_dir))
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    return fdedup.cluster_size_histogram(
+        _docs(spark, sf_dir), clusters=_clusters(spark, sf_dir)
+    )
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     return fdedup.dup_rate_by_source(
         _docs(spark, sf_dir), clusters=_clusters(spark, sf_dir)
@@ -743,6 +757,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment": q_dedup_containment,
     "tbl_time_travel": q_tbl_time_travel,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "text_split_assign": q_text_split_assign,
+    "sim_norm_stats": q_sim_norm_stats,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 ORACLES: dict[str, str] = {

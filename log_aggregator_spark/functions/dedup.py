@@ -727,3 +727,22 @@ def dup_rate_by_source(
             "(count(*) - count(DISTINCT cluster_id)) * 1000000L div count(*)"
         ).alias("dup_rate_ppm"),
     )
+
+
+def cluster_size_histogram(
+    documents: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
+    """Cluster-size distribution — the dedup report's other axis (how big
+    do duplicate families get): histogram of ``duplicate_clusters`` sizes.
+    Accepts the materialized clusters seam like the other consumers.
+
+    Scale shape: two stacked partial aggs (cluster_id counts collapse
+    map-side; the size key space is tiny) — same shape as the reference's
+    count rollup, no window, no join. (cluster_size, n_clusters, n_docs).
+    """
+    c = clusters if clusters is not None else duplicate_clusters(documents)
+    sizes = c.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )

@@ -672,3 +672,32 @@ def lsh_recall(
         .cast("long")
         .alias("recall_x1000"),
     )
+
+
+def norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Embedding QA: the L2-norm distribution in 0.1-wide buckets — the
+    sanity check a pipeline runs before trusting an embedding column
+    (collapsed/zero vectors, un-normalized batches and mixed model
+    versions all show up as histogram anomalies). Norms are integerized
+    (floor ×1000) like every cross-engine float in this repo; the dot
+    product uses the left-to-right association the DuckDB twin shares.
+
+    Scale shape: one narrow projection (the per-row dot product runs in
+    codegen over the array column) + a partial-agg groupBy on ≤ a few
+    hundred bucket keys. (norm_x10, n_vecs, min_norm_mill, max_norm_mill).
+    """
+    v = _vecs(embeddings)
+    norm_mill = F.floor(F.sqrt(F.col("n2")) * 1000).cast("long")
+    return (
+        v.select(norm_mill.alias("norm_mill"))
+        .select(
+            F.expr("norm_mill div 100").alias("norm_x10"),
+            "norm_mill",
+        )
+        .groupBy("norm_x10")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.min("norm_mill").alias("min_norm_mill"),
+            F.max("norm_mill").alias("max_norm_mill"),
+        )
+    )

@@ -538,3 +538,35 @@ def length_buckets(documents: DataFrame) -> DataFrame:
         "sum_tok",
         F.expr("sum_tok * 1000000L div total_tok").alias("share_ppm"),
     )
+
+
+# ----------------------------------------------------- split assignment
+
+
+def split_assign(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment — the final routing step of
+    corpus assembly: the doc's first TWO md5 nibbles give a 0..255 cell;
+    cells 0-2 → test (~1.2%), 3-5 → val, the rest → train. Content-hash,
+    never ``rand()``: the split survives retries, engine changes and
+    incremental re-runs (a re-crawled doc keeps its split — the property
+    that prevents test-set leakage across pipeline versions). Emits the
+    per-(split, source) report proving the split stratifies every source.
+    (split, source, n_docs, n_tok)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    cell = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    )
+    split = (
+        F.when(cell < 3, F.lit("test"))
+        .when(cell < 6, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    n_tok = F.size(words(F.col("text"))).cast("long")
+    return (
+        documents.select(split.alias("split"), "source", n_tok.alias("n_tok"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+        )
+    )

@@ -1556,3 +1556,45 @@ SELECT d.source,
 FROM clusters c JOIN documents d USING (doc_id)
 GROUP BY d.source
 """
+
+
+TEXT_SQL["text_split_assign"] = """
+WITH a AS (
+  SELECT CASE
+           WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 3
+             THEN 'test'
+           WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 6
+             THEN 'val'
+           ELSE 'train'
+         END AS split,
+         source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok
+FROM a GROUP BY split, source
+"""
+
+SIMILARITY_SQL["sim_norm_stats"] = """
+WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 1000) AS BIGINT) AS norm_mill
+  FROM d
+)
+SELECT norm_mill // 100 AS norm_x10,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(norm_mill) AS BIGINT) AS min_norm_mill,
+       CAST(max(norm_mill) AS BIGINT) AS max_norm_mill
+FROM m GROUP BY 1
+"""
+
+TEXT_SQL["dedup_cluster_sizes"] = _CLUSTERS_CTES + """
+, sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+"""

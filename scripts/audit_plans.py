@@ -459,6 +459,31 @@ def main() -> None:
                       "equi-join); asymmetric verdicts via integer "
                       "cross-multiplication — no floats, no second join"]))
 
+    # --- norm stats: codegen dot product, tiny partial agg, no Python ----
+    nsq = QUERIES["sim_norm_stats"](spark, SF)
+    nsplan = fmt_plan(nsq)
+    check("norm stats pure JVM", "Python" not in nsplan,
+          "the per-row dot product must run in codegen over the array "
+          "column — no Python kernel for a norm")
+    check("norm stats partial agg", nsplan.count("HashAggregate") >= 2,
+          "bucket stats must map-side combine")
+    sections.append(("sim_norm_stats", nsplan,
+                     ["aggregate(zip_with) norm in codegen; ≤ a few "
+                      "hundred bucket keys partial-agg map-side"]))
+
+    # --- split assign: narrow hash projection + one small agg -------------
+    saq = QUERIES["text_split_assign"](spark, SF)
+    saplan = fmt_plan(saq)
+    check("split assign joinless",
+          "Join" not in saplan and ") Window" not in saplan,
+          "split assignment is a per-row hash — any join/window would "
+          "mean split state is stored instead of derived")
+    check("split assign partial agg", saplan.count("HashAggregate") >= 2,
+          "the (split, source) report must map-side combine")
+    sections.append(("text_split_assign", saplan,
+                     ["md5-cell projection in codegen; 3×|sources| key "
+                      "space collapses map-side"]))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n")
         f.write("Generated by `python scripts/audit_plans.py` — asserts the "

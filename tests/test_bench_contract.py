@@ -11,12 +11,15 @@ from log_aggregator_spark.entry_queries import QUERIES
 
 
 def test_compact_line_fits_driver_window():
-    # worst-case realistic timings: every query at 10-99 s ("12.3", 4
-    # chars — the realistic suite ceiling; a single outlier past 99 s is
-    # absorbed by bench.py's top-40+_other_sum fallback, which degrades
-    # the record gracefully instead of overflowing the window)
-    queries = {name: 12.3 for name in QUERIES}
-    queries["pipeline_e2e"] = 12.3
+    # worst-case realistic timings via bench.py's own compactor: every
+    # query at 10-99 s renders as whole seconds ("12", 2 chars); sub-10 s
+    # values keep 0.1 s resolution; a pathological suite beyond this is
+    # absorbed by the top-40+_other_sum fallback, which degrades the
+    # record gracefully instead of overflowing the window
+    from bench import _compact_t
+
+    queries = {name: _compact_t(12.3) for name in QUERIES}
+    queries["pipeline_e2e"] = _compact_t(12.3)
     compact = {
         "metric": "pipeline_e2e_sec",
         "value": 123.456,

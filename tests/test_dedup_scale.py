@@ -395,3 +395,18 @@ def test_containment_catches_snippet_jaccard_misses(spark):
     assert r["inter"] == r["nb"] and r["b_in_a"] == 1 and r["a_in_b"] == 0
     jac = fd.jaccard_pairs(docs).collect()
     assert jac == []  # 10/118 well under the 0.5 jaccard threshold
+
+
+def test_cluster_size_histogram_accounts_every_doc(spark):
+    import log_aggregator_spark.functions.dedup as fd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "zz yy xx ww vv")],
+        schema="doc_id long, text string",
+    )
+    clusters = fd.duplicate_clusters(docs)
+    hist = fd.cluster_size_histogram(docs, clusters=clusters).collect()
+    assert sum(r["n_docs"] for r in hist) == 3
+    by_size = {r["cluster_size"]: r["n_clusters"] for r in hist}
+    assert by_size.get(2) == 1 and by_size.get(1) == 1

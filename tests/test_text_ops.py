@@ -97,3 +97,17 @@ def test_length_buckets_power_of_two_boundaries(spark):
     # ppm shares: integer floor-div against the 39-token total
     assert got[3]["share_ppm"] == 23 * 1_000_000 // 39
     assert got[4]["share_ppm"] == 16 * 1_000_000 // 39
+
+
+def test_split_assign_deterministic_and_total(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c", "src0") for i in range(300)],
+        schema="doc_id long, text string, source string",
+    )
+    got = {r["split"]: r for r in ft.split_assign(docs).collect()}
+    assert set(got) <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in got.values()) == 300
+    assert got["train"]["n_docs"] > got.get("val", got["train"])["n_docs"]
+    # deterministic: identical on re-run
+    again = {r["split"]: r["n_docs"] for r in ft.split_assign(docs).collect()}
+    assert again == {k: v["n_docs"] for k, v in got.items()}
