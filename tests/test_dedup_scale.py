@@ -410,3 +410,44 @@ def test_cluster_size_histogram_accounts_every_doc(spark):
     assert sum(r["n_docs"] for r in hist) == 3
     by_size = {r["cluster_size"]: r["n_clusters"] for r in hist}
     assert by_size.get(2) == 1 and by_size.get(1) == 1
+
+
+def test_containment_fuzz_matches_set_arithmetic(spark):
+    """Randomized corpora (disjoint vocab per corpus, one Spark job for
+    all) vs a literal set-arithmetic oracle of Broder containment with the
+    same tail-shingle rule. Exercises short docs (1-2 words -> one tail
+    shingle), full-overlap, partial-overlap and disjoint pairs."""
+    import numpy as np
+
+    import log_aggregator_spark.functions.dedup as fd
+
+    rng = np.random.default_rng(20260818)
+    rows, expected = [], set()
+    all_sets: dict[int, set] = {}
+    for corpus in range(8):
+        vocab = [f"c{corpus}w{k}" for k in range(8)]
+        n_docs = int(rng.integers(2, 12))
+        for i in range(n_docs):
+            doc_id = corpus * 1000 + i
+            n_words = int(rng.integers(1, 20))
+            words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_words)]
+            rows.append((doc_id, " ".join(words)))
+            # same shingle rule as text.shingles(n=3): windows at 1..max(n-2,1)
+            sh = {
+                " ".join(words[j:j + 3])
+                for j in range(max(len(words) - 2, 1))
+            }
+            all_sets[doc_id] = sh
+    for a in all_sets:
+        for b in all_sets:
+            if a < b and (a // 1000) == (b // 1000):
+                inter = len(all_sets[a] & all_sets[b])
+                if 5 * inter >= 4 * len(all_sets[a]) or 5 * inter >= 4 * len(all_sets[b]):
+                    expected.add((a, b, inter, len(all_sets[a]), len(all_sets[b])))
+
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["na"], r["nb"])
+        for r in fd.containment_pairs(docs).collect()
+    }
+    assert got == expected
