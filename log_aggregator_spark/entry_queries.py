@@ -497,6 +497,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def q_ev_transitions(spark, sf_dir):
+    return fev.event_transitions(_events(spark, sf_dir))
+
+
 def q_ev_tumbling_counts(spark, sf_dir):
     return fev.tumbling_counts(_events(spark, sf_dir))
 
@@ -615,7 +619,22 @@ def q_tbl_time_travel(spark, sf_dir):
     tagged — the read-at-snapshot machinery the resumable job leans on,
     proven value-exact (not just row-counted) against an oracle that
     reconstructs each version from the base table."""
-    def build():
+    t = _tt_table(spark, sf_dir)
+    v1 = t.read(spark, snapshot=1).withColumn("snap", F.lit(1).cast("long"))
+    v2 = t.read(spark).withColumn("snap", F.lit(2).cast("long"))
+    return v1.unionByName(v2).select("snap", "doc_id", "source")
+
+
+_tt_tables: dict[tuple, object] = {}
+
+
+def _tt_table(spark, sf_dir):
+    """The two-snapshot demo table (v1 = doc_id ≡0 mod 3, v2 appends the
+    rest), built ONCE per (session, sf) — repeated gate/bench calls must
+    not accumulate table copies in TMPDIR. Serves both the time-travel
+    and the incremental-read gates."""
+    key = (id(spark), sf_dir)
+    if key not in _tt_tables:
         import tempfile
 
         from .tableio import SnapshotTable
@@ -624,13 +643,17 @@ def q_tbl_time_travel(spark, sf_dir):
         t = SnapshotTable(tempfile.mkdtemp(prefix="tt_"))
         t.commit(docs.where(F.col("doc_id") % 3 == 0))
         t.commit(docs.where(F.col("doc_id") % 3 != 0))
-        v1 = t.read(spark, snapshot=1).withColumn("snap", F.lit(1).cast("long"))
-        v2 = t.read(spark).withColumn("snap", F.lit(2).cast("long"))
-        return v1.unionByName(v2).select("snap", "doc_id", "source")
+        _tt_tables[key] = t
+    return _tt_tables[key]
 
-    # memoized: ONE tt_* dir per (session, sf) — repeated gate/bench calls
-    # must not accumulate table copies in TMPDIR
-    return _memo(spark, sf_dir, "time_travel", build)
+
+def q_tbl_incremental(spark, sf_dir):
+    """Incremental (snapshot-diff) read under the hash gate: everything
+    committed AFTER snapshot 1 of the two-snapshot table must be exactly
+    the v2 append — the read path run_job's resume leans on, value-gated
+    (the oracle reconstructs the diff from the base table)."""
+    inc = _tt_table(spark, sf_dir).read_incremental(spark, since=1)
+    return inc.select("doc_id", "source")
 
 
 def q_text_ngram_counts(spark, sf_dir):
@@ -760,6 +783,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_split_assign": q_text_split_assign,
     "sim_norm_stats": q_sim_norm_stats,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "tbl_incremental": q_tbl_incremental,
+    "ev_transitions": q_ev_transitions,
 }
 
 ORACLES: dict[str, str] = {

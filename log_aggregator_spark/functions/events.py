@@ -666,3 +666,24 @@ def props_extract(events: DataFrame) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts — the Markov/flow-mining view
+    of a telemetry stream (which screens lead where): ``lead(event_type)``
+    over each user's (ts, event_id) timeline, then count per
+    (from_type, to_type) pair.
+
+    Scale shape: ONE shuffle on user_id (the window), in-task sort, then a
+    partial-agg groupBy over the tiny |types|² key space — no self-join
+    (the naive formulation joins the table against itself on
+    user+adjacent-ts, shuffling everything twice).
+    (from_type, to_type, n_transitions)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        events.withColumn("to_type", nxt)
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )

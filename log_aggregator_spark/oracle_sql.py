@@ -1598,3 +1598,20 @@ SELECT CAST(sz AS BIGINT) AS cluster_size,
        CAST(sum(sz) AS BIGINT) AS n_docs
 FROM sizes GROUP BY sz
 """
+
+
+MERGE_SQL["tbl_incremental"] = """
+SELECT doc_id, source FROM documents WHERE doc_id % 3 != 0
+"""
+
+EVENTS_SQL["ev_transitions"] = """
+WITH t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM t WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""

@@ -203,3 +203,33 @@ def test_hll_distinct_within_tolerance_and_deterministic(spark):
     (row,) = a
     assert row["n_users_exact"] == 37
     assert row["hll_within_tol"] == 1
+
+
+def test_event_transitions_follow_timeline_order(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 1.0),
+            (2, "2024-01-01 10:01:00", 7, "click", 1.0),
+            (3, "2024-01-01 10:02:00", 7, "click", 1.0),
+            (4, "2024-01-01 10:00:30", 8, "view", 1.0),  # other user: no cross-talk
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in fev.event_transitions(ev).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "click"): 1}
+
+
+def test_event_transitions_tie_break_on_event_id(spark):
+    # same timestamp: event_id orders the pair deterministically
+    ev = _ev(
+        spark,
+        [
+            (5, "2024-01-01 10:00:00", 9, "signup", 1.0),
+            (6, "2024-01-01 10:00:00", 9, "purchase", 1.0),
+        ],
+    )
+    (r,) = fev.event_transitions(ev).collect()
+    assert (r["from_type"], r["to_type"]) == ("signup", "purchase")
