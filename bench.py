@@ -152,10 +152,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def _compact_t(t: float):
-    """Driver-line timing: 0.1 s resolution under 10 s, whole seconds
-    above — bounds every value at 3-4 chars so the one-line record scales
-    past 80 queries."""
-    return round(t, 1) if t < 10 else int(round(t))
+    """Driver-line timing: 0.1 s resolution under 10 s, whole seconds at
+    10 s and above — bounds every value at ≤3 chars (sub-100 s) so the
+    one-line record scales past 80 queries. The round-first check keeps
+    the 9.97→10.0 edge from emitting a 4-char float."""
+    r = round(t, 1)
+    return r if r < 10 else int(round(t))
 
 
 def lc_master(n_exec: int, cores_per: int = 4, mem_mb: int = 6144) -> str:
@@ -398,13 +400,18 @@ def main_scaling(args) -> None:
     # generating 8M docs inside a single pinned 6 GB executor OOMs before
     # the measurement even starts (the cached corpus is reused by every
     # pinned subprocess via the _DONE marker)
-    from log_aggregator_spark.session import get_spark
-
     os.makedirs(args.workdir, exist_ok=True)
-    spark = get_spark("bench-materialize", cores="*",
-                      extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")})
-    materialize_synth(spark, args.synth_docs, args.workdir)
-    spark.stop()
+    if not os.path.exists(
+        os.path.join(args.workdir, f"synth_{args.synth_docs}", "_DONE")
+    ):
+        from log_aggregator_spark.session import get_spark
+
+        spark = get_spark(
+            "bench-materialize", cores="*",
+            extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")},
+        )
+        materialize_synth(spark, args.synth_docs, args.workdir)
+        spark.stop()
 
     if not args.skip_executor_pair:
         lo = _run_pinned(0, args, lc_executors=1)

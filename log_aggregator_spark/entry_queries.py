@@ -240,13 +240,22 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 # Materialize-once intermediates, exactly as a real pipeline stores them:
 # the df-capped shingle table feeds Jaccard/minhash/clusters; the cluster
-# labels feed clusters/survivors. Keyed by (session id, sf_dir); both are
+# labels feed clusters/survivors. Keyed by (applicationId, sf_dir); both are
 # narrow (2-3 longs/strings per row).
 _seam_cache: dict[tuple, DataFrame] = {}
 
 
+def _app_key(spark) -> str:
+    """Session identity for memo keys: the Spark applicationId — unique
+    per application and never address-reused (``id(spark)`` values can be
+    reallocated after a stopped session is GC'd). Fixture regeneration
+    under the SAME app would still serve the cached seam — acceptable
+    because the driver's testdata is generated once, read-only."""
+    return spark.sparkContext.applicationId
+
+
 def _memo(spark, sf_dir, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (_app_key(spark), sf_dir, name)
     if key not in _seam_cache:
         df = build().persist()
         df.count()  # materialize under the persist
@@ -633,7 +642,7 @@ def _tt_table(spark, sf_dir):
     rest), built ONCE per (session, sf) — repeated gate/bench calls must
     not accumulate table copies in TMPDIR. Serves both the time-travel
     and the incremental-read gates."""
-    key = (id(spark), sf_dir)
+    key = (_app_key(spark), sf_dir)
     if key not in _tt_tables:
         import tempfile
 

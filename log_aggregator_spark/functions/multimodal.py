@@ -202,19 +202,21 @@ def format_stats(documents: DataFrame) -> DataFrame:
 
 def media_dedup(media: DataFrame) -> DataFrame:
     """Exact duplicate detection over opaque media payloads: group on the
-    md5 digest of the bytes (the reference dedupes chunk payloads by
+    sha2-256 digest of the bytes (the reference dedupes chunk payloads by
     identity; for multi-GB media objects byte-compare is hopeless, digest
-    groupBy is the standard form — md5 because it is the repo-wide oracle
-    hash, hex-identical in Spark and DuckDB; a deployment wanting
-    collision-resistance swaps in sha2 one line below). The digest is
-    computed in the scan projection, so the shuffle carries the 32-char
-    hex digest + a long — never the payload: at 100 TB of media the
-    exchange is ~40 B/row regardless of object size.
-    Output: (content_sha, n_copies, canonical_doc_id) with the
+    groupBy is the standard form). sha2, NOT the repo's usual md5: this
+    digest DECIDES which payload survives, and md5 collisions are
+    constructible on arbitrary binary — a crafted pair would silently drop
+    a distinct object. The oracle twin uses DuckDB's sha256 (the one
+    documented exception to the md5-only oracle rule, oracle_sql.py
+    header). The digest is computed in the scan projection, so the
+    shuffle carries the 64-char hex digest + a long — never the payload:
+    at 100 TB of media the exchange is ~72 B/row regardless of object
+    size. Output: (content_sha, n_copies, canonical_doc_id) with the
     deterministic min-doc_id survivor.
     """
     return (
-        media.select(F.md5(F.col("media")).alias("content_sha"), "doc_id")
+        media.select(F.sha2(F.col("media"), 256).alias("content_sha"), "doc_id")
         .groupBy("content_sha")
         .agg(
             F.count("*").cast("long").alias("n_copies"),

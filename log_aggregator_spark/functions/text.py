@@ -30,15 +30,22 @@ def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def hash_nibble(col: Column) -> Column:
-    """First hex nibble (0..15) of md5(col) — the house content hash for
-    every deterministic sample/split/bucket decision (never ``rand()``:
-    reproducible across engines, retries and runs). SQL twin:
-    ``strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1``. Change the
-    two together."""
+def hash_cell(col: Column, nibbles: int = 1) -> Column:
+    """First ``nibbles`` hex nibbles of md5(col) as an int (cell space
+    16^nibbles) — THE house content hash for every deterministic
+    sample/split/bucket decision (never ``rand()``: reproducible across
+    engines, retries and runs). SQL twin per nibble i (1-based):
+    ``(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1) * 16^(n-i)``
+    summed — change the two together; every oracle hash-cell expression
+    derives from this one recipe."""
     return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 1), 16, 10
+        F.substring(F.md5(col.cast("string")), 1, nibbles), 16, 10
     ).cast("int")
+
+
+def hash_nibble(col: Column) -> Column:
+    """``hash_cell(col, 1)`` — the 0..15 special case used by samplers."""
+    return hash_cell(col, 1)
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
@@ -552,10 +559,7 @@ def split_assign(documents: DataFrame) -> DataFrame:
     that prevents test-set leakage across pipeline versions). Emits the
     per-(split, source) report proving the split stratifies every source.
     (split, source, n_docs, n_tok)."""
-    h = F.md5(F.col("doc_id").cast("string"))
-    cell = (
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    )
+    cell = hash_cell(F.col("doc_id"), nibbles=2)
     split = (
         F.when(cell < 3, F.lit("test"))
         .when(cell < 6, F.lit("val"))

@@ -13,7 +13,10 @@ Portability rules used throughout this repo's oracles:
   driver's value-hash sees identical scalars;
 * every integer aggregate CAST to BIGINT (DuckDB sums to HUGEINT);
 * no floats in compared columns unless integerized (×1000, floor);
-* no engine hash functions except md5 (hex string, identical everywhere).
+* no engine hash functions except md5 (hex string, identical everywhere) —
+  with ONE deliberate exception: ``mm_dedup_media`` uses sha256 (present and
+  hex-identical in both engines, verified in the gate) because that digest
+  picks a payload survivor and md5 collisions are constructible.
 """
 
 from __future__ import annotations
@@ -1457,11 +1460,11 @@ WITH u AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0
 )
-SELECT md5('FAKE' || text) AS content_sha,
+SELECT sha256('FAKE' || text) AS content_sha,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
 FROM u
-GROUP BY md5('FAKE' || text)
+GROUP BY sha256('FAKE' || text)
 """
 
 EVENTS_SQL["ev_distinct_users"] = """

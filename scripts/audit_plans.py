@@ -406,12 +406,12 @@ def main() -> None:
           all("media#" not in x and "text#" not in x
               for x in exchange_inputs(mdplan)),
           "payload bytes must hash in the scan projection — only the "
-          "32-char hex digest crosses the exchange")
+          "64-char hex digest crosses the exchange")
     check("media dedup partial agg", mdplan.count("HashAggregate") >= 2,
           "count/min survivor pick must map-side combine")
     sections.append(("mm_dedup_media", mdplan,
-                     ["md5 computed pre-shuffle; the exchange carries "
-                      "(digest, doc_id) — ~40 B/row at any object size"]))
+                     ["sha2-256 computed pre-shuffle; the exchange carries "
+                      "(digest, doc_id) — ~72 B/row at any object size"]))
 
     # --- distinct users: explicit two-stage, no Expand --------------------
     duq = QUERIES["ev_distinct_users"](spark, SF)

@@ -18,8 +18,14 @@ def test_compact_line_fits_driver_window():
     # record gracefully instead of overflowing the window
     from bench import _compact_t
 
-    queries = {name: _compact_t(12.3) for name in QUERIES}
-    queries["pipeline_e2e"] = _compact_t(12.3)
+    # the compactor's widest rendering is 3 chars ("9.9"): model every
+    # query at that width, and pin the rounding edge that could emit a
+    # 4-char float ("10.0")
+    assert json.dumps(_compact_t(9.94)) == "9.9"
+    assert json.dumps(_compact_t(9.97)) == "10"
+    assert json.dumps(_compact_t(12.3)) == "12"
+    queries = {name: _compact_t(9.94) for name in QUERIES}
+    queries["pipeline_e2e"] = _compact_t(9.94)
     compact = {
         "metric": "pipeline_e2e_sec",
         "value": 123.456,

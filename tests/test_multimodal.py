@@ -22,8 +22,9 @@ def test_media_dedup_groups_identical_payloads(spark):
     by_copies = sorted((r["n_copies"], r["canonical_doc_id"]) for r in got)
     # dup group keeps the min doc_id as canonical; unique row is its own group
     assert by_copies == [(1, 9), (2, 1)]
-    # digests are 32-char lowercase hex (md5, the repo-wide oracle hash)
-    assert all(len(r["content_sha"]) == 32 for r in got)
+    # digests are 64-char lowercase hex (sha2-256: survivor-picking
+    # digests need collision resistance, unlike the md5 oracle hashes)
+    assert all(len(r["content_sha"]) == 64 for r in got)
 
 
 def test_media_dedup_magic_header_is_part_of_the_content(spark):
