@@ -257,10 +257,23 @@ def _app_key(spark) -> str:
 def _memo(spark, sf_dir, name: str, build) -> DataFrame:
     key = (_app_key(spark), sf_dir, name)
     if key not in _seam_cache:
+        _evict_other_sf(spark, sf_dir)
         df = build().persist()
         df.count()  # materialize under the persist
         _seam_cache[key] = df
     return _seam_cache[key]
+
+
+def _evict_other_sf(spark, sf_dir) -> None:
+    """Unpersist this session's seams for every OTHER sf_dir before the
+    first seam of a new sf_dir materializes — a long-lived session
+    benching several scale factors must not pin storage memory without
+    bound (one suite runs one sf at a time; interleaving would thrash the
+    cache but never return a wrong or unpersisted-under-it frame)."""
+    app = _app_key(spark)
+    stale = [k for k in _seam_cache if k[0] == app and k[1] != sf_dir]
+    for k in stale:
+        _seam_cache.pop(k).unpersist()
 
 
 def _shingles(spark, sf_dir):
@@ -644,12 +657,20 @@ def _tt_table(spark, sf_dir):
     and the incremental-read gates."""
     key = (_app_key(spark), sf_dir)
     if key not in _tt_tables:
+        import atexit
+        import shutil
         import tempfile
 
         from .tableio import SnapshotTable
 
         docs = _docs(spark, sf_dir).select("doc_id", "source")
-        t = SnapshotTable(tempfile.mkdtemp(prefix="tt_"))
+        path = tempfile.mkdtemp(prefix="tt_")
+        # private per-process dir (no cross-process CAS races on a shared
+        # path), removed at interpreter exit so repeated gate/bench runs
+        # don't accumulate orphan tt_* trees in TMPDIR (a crash can still
+        # leak one dir — the tradeoff for race-free isolation)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        t = SnapshotTable(path)
         t.commit(docs.where(F.col("doc_id") % 3 == 0))
         t.commit(docs.where(F.col("doc_id") % 3 != 0))
         _tt_tables[key] = t

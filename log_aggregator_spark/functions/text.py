@@ -48,6 +48,17 @@ def hash_nibble(col: Column) -> Column:
     return hash_cell(col, 1)
 
 
+def _cell_nibbles(buckets: int) -> int:
+    """Nibbles needed so a ``% buckets`` over the cell space is
+    near-uniform for any bucket count: the smallest n with
+    16^n ≥ 16·buckets (one headroom nibble caps the modulo bias at
+    ≤ 1/16 and guarantees every bucket is reachable)."""
+    n = 1
+    while 16**n < 16 * buckets:
+        n += 1
+    return n
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     w = words(F.col("text"))
     return documents.select(
@@ -377,8 +388,12 @@ def pack_sequences(
     by doc_id, one running-sum window — per-task work is corpus/buckets;
     at 100 TB set ``buckets`` ≈ the executor-core count × a small factor
     (the knob trades pack-boundary waste against parallelism, exactly the
-    shard-count knob of a real tokenizer fleet)."""
-    bucket = (hash_nibble(F.col("doc_id")) % buckets).cast("long")
+    shard-count knob of a real tokenizer fleet). The cell draws one more
+    nibble than ``buckets`` needs (16^n ≥ 16·buckets), so the modulo is
+    near-uniform for ANY buckets value — a single nibble would silently
+    cap the knob at 16 shards and skew non-power-of-16 counts."""
+    nibbles = _cell_nibbles(buckets)
+    bucket = (hash_cell(F.col("doc_id"), nibbles=nibbles) % buckets).cast("long")
     from pyspark.sql import Window
 
     w = (

@@ -49,8 +49,16 @@ def merge_upsert(
     'D' delete). Returns the merged snapshot with ``version_col`` kept
     (provenance: which batch last touched the row).
 
-    Ties are impossible by contract (one row per key per version); the
-    argmax is therefore deterministic. Output: keys + payload + version.
+    The contract is one row per key per version with version >
+    ``base_version`` — but the argmax is deterministic even when a caller
+    violates it: the winner is ordered by ``struct(version, op)``, so at
+    equal version a delete beats an upsert ('U' < 'D' lexically — MERGE's
+    "delete wins the tie" convention) and an update arriving at
+    version ≤ ``base_version`` loses to the base row deterministically
+    instead of varying per run. Two upserts sharing (key, version) remain
+    a contract violation (payload pick would still tie); everything the
+    operator itself introduces (the base row at ``base_version``) resolves
+    deterministically. Output: keys + payload + version.
     """
     keys = list(keys)
     payload = [c for c in base.columns if c not in keys]
@@ -67,11 +75,12 @@ def merge_upsert(
         F.col(op_col),
     )
     st = F.struct(*[F.col(c) for c in payload], F.col(op_col))
+    order = F.struct(F.col(version_col), F.col(op_col))
     winner = (
         b.unionByName(u)
         .groupBy(*keys)
         .agg(
-            F.max_by(st, F.col(version_col)).alias("_w"),
+            F.max_by(st, order).alias("_w"),
             F.max(version_col).cast("long").alias(version_col),
         )
     )

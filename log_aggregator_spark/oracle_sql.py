@@ -198,6 +198,19 @@ from .functions.text import (  # noqa: E402
     VOCAB_TOPN,
 )
 from .functions.events import FUNNEL_STEPS as _FUNNEL_STEPS  # noqa: E402
+from .functions.text import _cell_nibbles  # noqa: E402
+
+
+def _hash_cell_sql(col_sql: str, nibbles: int) -> str:
+    """SQL twin of text.hash_cell(col, nibbles): the first ``nibbles`` hex
+    nibbles of md5 as one integer, generated per nibble so the expression
+    cannot drift from the Spark recipe (hash_cell docstring)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({col_sql}), {i + 1}, 1)) - 1)"
+        + (f" * {16 ** (nibbles - 1 - i)}" if i < nibbles - 1 else "")
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
 from .functions.events import (  # noqa: E402
     INTERVAL_PAD_SEC as _IV_PAD,
     PER_MINUTE_LIMIT as _PER_MIN,
@@ -592,12 +605,12 @@ SELECT source, CAST(rate_16ths AS BIGINT) AS rate_16ths,
 FROM base GROUP BY source, rate_16ths
 """,
         # sequence packing — mirrors text.pack_sequences (per-bucket
-        # running token sum, integer div/mod cut points)
+        # running token sum, integer div/mod cut points; bucket from a
+        # headroom-nibble hash cell so any buckets value shards uniformly)
         "text_pack_sequences": f"""
 WITH sized AS (
   SELECT doc_id,
-         CAST((strpos('0123456789abcdef',
-                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+         CAST({_hash_cell_sql("CAST(doc_id AS VARCHAR)", _cell_nibbles(PACK_BUCKETS))}
               % {PACK_BUCKETS} AS BIGINT) AS bucket,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
            AS n_tok
