@@ -753,14 +753,23 @@ GROUP BY fp
 TEXT_SQL: dict[str, str] = _text_sql()
 
 # ------------------------------------------------- similarity oracles
-# Mirrors functions/similarity.py. The hyperplane literals are interpolated
-# from the SAME module-level PLANES constant the Spark plan embeds, so both
-# engines parse identical decimal strings to identical doubles.
+# Mirrors functions/similarity.py. The hyperplane/centroid literals are
+# interpolated from the SAME module-level constants the Spark plan embeds
+# (integer-valued ×10⁶ doubles). Vectors are quantized with round_even —
+# DuckDB's half-to-even, matching Spark rint / numpy rint — so every dot
+# product is an exact sum of integers < 2⁵³ and all three compute paths
+# (this SQL, the JVM fold, the Arrow matmul kernels) agree bitwise; see
+# the similarity module header for the exactness argument.
 
 from .functions import similarity as _sim  # noqa: E402
 
-_SIM_PRELUDE = """
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_QVEC = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> round_even(x * {_sim.QUANT}, 0))"
+)
+
+_SIM_PRELUDE = f"""
+WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d),
 p AS (
   SELECT a.vec_id, b.vec_id AS nb_id,
@@ -828,13 +837,13 @@ SELECT vec_id AS vec_a, nb_id AS vec_b,
        CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
 FROM p WHERE vec_id < nb_id AND sim >= {_sim.NEAR_DUP_TAU}
 """,
-        "sim_lsh_signature": "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        "sim_lsh_signature": f"WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings)\n"
         + "\nUNION ALL ".join(
             f"SELECT vec_id, CAST({b} AS BIGINT) AS band, {_bucket_expr(b)} AS bucket FROM d"
             for b in range(_sim.N_BANDS)
         ),
         "sim_lsh_pairs": f"""
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
 {banded}
 SELECT vec_a, vec_b, n_bands,
@@ -850,7 +859,7 @@ FROM (
 ) WHERE sim >= {_sim.LSH_TAU}
 """,
         "sim_lsh_topk": f"""
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
 {banded}
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
@@ -923,7 +932,7 @@ def _ivf_sql() -> dict[str, str]:
         for c in range(_sim.K_CELLS)
     )
     base = f"""
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
 scored AS (
   SELECT vec_id, v, list_sort([{score_structs}], 'DESC') AS sc FROM d
 ),
@@ -953,16 +962,17 @@ FROM (
     return {
         "sim_ivf_assign": base + "SELECT vec_id, cell FROM assign",
         "sim_ivf_topk": base + topk_core,
-        # Lloyd-iteration reduce: per (cell, dim) integerized component
-        # sums — mirrors similarity.centroid_update. generate_subscripts
-        # expands in lockstep with unnest in DuckDB's select list.
+        # Lloyd-iteration reduce: per (cell, dim) component sums — the
+        # components ARE the quantized integers in d.v. mirrors
+        # similarity.centroid_update. generate_subscripts expands in
+        # lockstep with unnest in DuckDB's select list.
         "sim_centroid_update": base + """
 SELECT cell, dim, CAST(sum(ei) AS BIGINT) AS sum_x1m,
        CAST(count(*) AS BIGINT) AS n_members
 FROM (
   SELECT a.cell AS cell,
          CAST(generate_subscripts(d.v, 1) - 1 AS BIGINT) AS dim,
-         CAST(round(unnest(d.v) * 1000000) AS BIGINT) AS ei
+         CAST(unnest(d.v) AS BIGINT) AS ei
   FROM assign a JOIN d USING (vec_id)
 )
 GROUP BY 1, 2
@@ -978,7 +988,7 @@ upd AS (
   FROM (
     SELECT a.cell AS cell,
            CAST(generate_subscripts(d.v, 1) - 1 AS BIGINT) AS dim,
-           CAST(round(unnest(d.v) * 1000000) AS BIGINT) AS ei
+           CAST(unnest(d.v) AS BIGINT) AS ei
     FROM assign a JOIN d USING (vec_id)
   )
   GROUP BY 1, 2
@@ -1594,10 +1604,10 @@ SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM a GROUP BY split, source
 """
 
-SIMILARITY_SQL["sim_norm_stats"] = """
-WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+SIMILARITY_SQL["sim_norm_stats"] = f"""
+WITH d AS (SELECT {_QVEC} AS v FROM embeddings),
 m AS (
-  SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 1000) AS BIGINT) AS norm_mill
+  SELECT CAST(floor(sqrt(list_dot_product(v, v)) / 1000) AS BIGINT) AS norm_mill
   FROM d
 )
 SELECT norm_mill // 100 AS norm_x10,

@@ -394,10 +394,15 @@ def main() -> None:
 
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
-    check("brute broadcast", "BroadcastNestedLoopJoin" in bplan or "BroadcastHashJoin" in bplan,
-          "brute-force baseline broadcasts the small side")
+    check("brute matmul kernel", "MapInPandas" in bplan,
+          "brute-force baseline ranks each query partition against the "
+          "guarded corpus matrix in one Arrow matmul — no join in the plan")
+    check("brute no join", "Join" not in bplan and "CartesianProduct" not in bplan,
+          "the corpus sample is a broadcast numpy matrix, not a join side")
     sections.append(("sim_brute_topk", bplan,
-                     ["broadcast nested-loop: exact O(n²) baseline, small side broadcast"]))
+                     ["mapInPandas matmul vs the id-sorted sample matrix: "
+                      "exact O(n²) baseline, embarrassingly parallel, "
+                      "guarded to sample size"]))
 
     # --- media dedup: digests shuffle, payloads never do ------------------
     mdq = QUERIES["mm_dedup_media"](spark, SF)

@@ -451,3 +451,44 @@ def test_containment_fuzz_matches_set_arithmetic(spark):
         for r in fd.containment_pairs(docs).collect()
     }
     assert got == expected
+
+
+def test_arrow_kernels_equal_jvm_twins(spark):
+    """The vectorized Arrow kernels must compute the bitwise-identical
+    results as their JVM higher-order-function twins — the exactness
+    argument (integer-valued doubles < 2^53 sum exactly in any order)
+    made falsifiable: signature buckets, IVF cell assignment, and the
+    pair-dot column all cross-checked on real fixture data."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sig_a = fsim.lsh_signature(emb, impl="arrow").orderBy("vec_id", "band")
+    sig_j = fsim.lsh_signature(emb, impl="jvm").orderBy("vec_id", "band")
+    pd.testing.assert_frame_equal(sig_a.toPandas(), sig_j.toPandas())
+
+    asg_a = fsim.ivf_assign(emb, impl="arrow").orderBy("vec_id")
+    asg_j = fsim.ivf_assign(emb, impl="jvm").orderBy("vec_id")
+    pd.testing.assert_frame_equal(asg_a.toPandas(), asg_j.toPandas())
+
+    # pair-dot kernel vs the sequential JVM fold on all same-cell pairs
+    v = fsim._vecs(emb)
+    a = v.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(5000)
+    both = pairs.select(
+        fsim._pair_dot_pd(F.col("va"), F.col("vb")).alias("arrow_dot"),
+        fsim._dot(F.col("va"), F.col("vb")).alias("jvm_dot"),
+    ).where(F.col("arrow_dot") != F.col("jvm_dot"))
+    assert both.count() == 0
+
+
+def test_quantized_dots_are_integer_valued(spark):
+    """Every quantized dot must be an exact integer (the precondition of
+    the cross-engine exactness argument): n2 == floor(n2) for the whole
+    fixture, and the worst-case bound stays far below 2^53."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    v = fsim._vecs(emb)
+    frac = v.where(F.col("n2") != F.floor(F.col("n2")).cast("double"))
+    assert frac.count() == 0
+    mx = v.agg(F.max(F.aggregate(
+        F.transform("v", lambda x: F.abs(x)), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x)))).collect()[0][0]
+    assert mx * fsim._PLANES_ABS_MAX * fsim.DIM < 2.0**53
