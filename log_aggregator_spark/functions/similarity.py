@@ -518,21 +518,36 @@ def lsh_topk(
 # cells. Index = one bigint per vector (vs N_BANDS rows for LSH);
 # candidates ≈ NPROBE/K_CELLS of the corpus per query. Centroids are
 # deterministic module literals (integer-valued ×QUANT like PLANES) so
-# both engines score identically; ``kmeans_iterate`` is the distributed
-# Lloyd step that trains them (scripts/train_ivf.py runs it to
-# convergence and re-embeds the literals).
+# both engines score identically. The quantizer is TRAINED:
+# scripts/train_ivf.py drives the gated distributed Lloyd step
+# (``kmeans_iterate``) to convergence on the sf0.1 fixture (33 iters)
+# and emits ``_ivf_centroids.TRAINED_CENTROIDS``. Measured recall@3 at
+# identical candidate volume on the training corpus (sf0.1, 2000 vecs):
+#   nprobe=4: seed 0.509 → trained 0.586   (both ≈25% candidates)
+#   nprobe=6: seed 0.659 → trained 0.730   (both ≈37% candidates)
+# Off-sample (sf0.01) the trained quantizer does NOT transfer (0.426 vs
+# 0.457 seed at nprobe=4) — iid gaussian fixtures have no cluster
+# structure to learn, so train-on-the-corpus-you-index is the procedure
+# (which is also what production IVF does). Multi-probe LSH still leads
+# on this adversarial fixture (0.786 at 36%); on genuinely clustered
+# embedding corpora trained IVF flips the comparison.
 K_CELLS = 16
 NPROBE = 4
 
 
 def _make_centroids(k: int = K_CELLS, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    """Seed init for the quantizer (unit-norm seeded gaussians) — what
+    scripts/train_ivf.py starts Lloyd from; NOT what production scores
+    against (that is TRAINED_CENTROIDS below)."""
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((k, dim))
     c = c / np.linalg.norm(c, axis=1, keepdims=True)  # unit norm: dot == cosine rank
     return [[float(round(x * QUANT)) for x in row] for row in c]  # exact ints
 
 
-CENTROIDS: list[list[float]] = _make_centroids()
+from ._ivf_centroids import TRAINED_CENTROIDS  # noqa: E402
+
+CENTROIDS: list[list[float]] = TRAINED_CENTROIDS
 
 
 def _centroids_np() -> np.ndarray:
