@@ -312,9 +312,19 @@ def q_sim_norm_stats(spark, sf_dir):
     return fsim.norm_stats(_emb(spark, sf_dir))
 
 
-def q_dedup_cluster_sizes(spark, sf_dir):
-    return fdedup.cluster_size_histogram(
-        _docs(spark, sf_dir), clusters=_clusters(spark, sf_dir)
+def _mm_features(spark, sf_dir):
+    """The materialized perceptual-feature table (one MM_FDIM vector per
+    media object) — extracted once per suite, exactly as a deployment
+    stores codec output next to the media table."""
+    return _memo(
+        spark, sf_dir, "mm_features",
+        lambda: fmm.media_features(_docs(spark, sf_dir)),
+    )
+
+
+def q_mm_near_dup(spark, sf_dir):
+    return fmm.media_near_dup(
+        _docs(spark, sf_dir), features_df=_mm_features(spark, sf_dir)
     )
 
 
@@ -812,7 +822,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "text_split_assign": q_text_split_assign,
     "sim_norm_stats": q_sim_norm_stats,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "mm_near_dup": q_mm_near_dup,
     "tbl_incremental": q_tbl_incremental,
     "ev_transitions": q_ev_transitions,
 }

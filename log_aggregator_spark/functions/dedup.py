@@ -459,6 +459,76 @@ def duplicate_clusters(
     )
 
 
+def merge_clusters(
+    stored: DataFrame, batch_nodes: DataFrame, batch_edges: DataFrame
+) -> DataFrame:
+    """Incremental maintenance of a stored ``duplicate_clusters`` table:
+    fold one new batch's nodes and duplicate edges in WITHOUT re-running
+    connected components over the corpus. At 100 TB a daily batch must
+    UPDATE the cluster table — the corpus-wide pair graph is hashed once
+    in its life (the incremental_* probes), and so is its clustering.
+
+    ``stored``: the current (doc_id, cluster_id, is_canonical) table.
+    ``batch_nodes``: the batch's doc ids. ``batch_edges``: duplicate
+    pairs with ≥1 endpoint in the batch — exactly what the
+    ``incremental_near_lsh`` / ``incremental_exact`` probes emit (old↔old
+    structure is already folded into ``stored``; a batch can only merge
+    existing clusters through a new bridging doc).
+
+    Shape: (1) contract each edge endpoint to its current label — one
+    ids-only equi-join against the stored index per side (the ONLY
+    corpus-sized work, and it moves 16 B/row); (2) run the iterative CC
+    on the contracted subgraph — touched labels + new ids only, i.e.
+    batch-sized, NOT corpus-sized; (3) broadcast the batch-sized
+    label-remap over the stored table (untouched rows pass through a
+    broadcast-hash lookup; no corpus shuffle) and append the new docs.
+
+    Labels stay canonical: a stored cluster_id is the min doc_id of its
+    component, so the min over merged labels ∪ bridging-batch ids IS the
+    min over the merged component's members — the incremental result is
+    row-identical to a full recompute (pytest-proven on a two-batch
+    fixture)."""
+    idx = stored.select("doc_id", "cluster_id")
+    la = idx.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_la"))
+    lb = idx.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_lb"))
+    contracted = (
+        batch_edges.select("doc_a", "doc_b")
+        .join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("_la", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("_lb", F.col("doc_b")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    new_nodes = batch_nodes.select("doc_id").join(idx, "doc_id", "left_anti")
+    sub_nodes = (
+        contracted.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(contracted.select(F.col("doc_b").alias("doc_id")))
+        .unionByName(new_nodes)
+        .distinct()
+    )
+    # batch-sized CC over the contracted subgraph (labels + new ids)
+    sub = components(contracted, sub_nodes).select(
+        F.col("doc_id").alias("_old"), F.col("cluster_id").alias("_new")
+    )
+    remap = F.broadcast(sub.where(F.col("_old") != F.col("_new")))
+    updated = (
+        idx.join(remap, idx["cluster_id"] == remap["_old"], "left")
+        .select("doc_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"))
+    )
+    appended = (
+        new_nodes.join(remap, new_nodes["doc_id"] == remap["_old"], "left")
+        .select("doc_id", F.coalesce("_new", F.col("doc_id")).alias("cluster_id"))
+    )
+    return updated.unionByName(appended).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+    )
+
+
 def survivors_by_quality(
     documents: DataFrame, clusters: DataFrame | None = None
 ) -> DataFrame:

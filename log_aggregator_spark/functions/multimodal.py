@@ -47,6 +47,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 MAGIC = b"FAKE"  # 4-byte header of the synthetic media format
 
@@ -101,17 +103,18 @@ def media_meta(documents: DataFrame) -> DataFrame:
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """One Arrow batch → features. Everything except the codec body arrived
-    precomputed from the JVM (fmt, n_bytes, payload_bytes, n_frames); the
-    only Python-per-object work is the decode itself — unavoidable for any
-    real codec."""
-    body = pdf["media"].map(lambda b: bytes(b)[len(MAGIC):])  # codec boundary
+    precomputed from the JVM (fmt, n_bytes, payload_bytes, n_frames, and
+    the header-stripped ``body`` itself — substring on binary is codegen);
+    the only Python-per-object work is the decode call, unavoidable for
+    any real codec."""
+    body = pdf["body"]
     if _DECODER is not None:
         feats = body.map(_DECODER)  # pragma: no cover - real codec path
         checksum = pd.Series([int(f.sum()) for f in feats], index=pdf.index)
     else:
         # fake decode: sum of unicode codepoints of the decoded body —
         # vectorized via numpy over the concatenated codepoint buffer.
-        texts = body.map(lambda b: b.decode("utf-8"))
+        texts = body.map(lambda b: bytes(b).decode("utf-8"))
         joined = "".join(texts)
         cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype("int64")
         lens = texts.map(len).to_numpy()
@@ -153,10 +156,20 @@ def _with_jvm_features(documents: DataFrame) -> DataFrame:
     )
 
 
+def _with_body(media: DataFrame) -> DataFrame:
+    """Strip the format header JVM-side (substring over binary is codegen)
+    so the Python kernel receives ready-to-decode body bytes — the codec
+    boundary carries nothing but the codec call itself."""
+    return media.withColumn(
+        "body",
+        F.expr(f"substring(media, {len(MAGIC) + 1}, octet_length(media))"),
+    ).drop("media")
+
+
 def decode_features(documents: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extract over the media table.
     (doc_id, fmt, n_bytes, payload_bytes, checksum, n_frames)."""
-    media = _with_jvm_features(documents)
+    media = _with_body(_with_jvm_features(documents))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -230,4 +243,185 @@ def resize_stub(documents: DataFrame, width: int, height: int) -> DataFrame:
     raise NotImplementedError(
         "resize requires an image codec not present in this container; "
         "install one and wire it via set_decoder()"
+    )
+
+
+# ---------------------------------------------- perceptual near-duplicate
+# Media NEAR-dup (vs media_dedup's exact digest): a perceptual feature
+# vector per object from the decode kernel, then banded sign-LSH over
+# literal planes — candidates from an equi-join on (band, bucket), exact
+# integer-cosine verify on the candidate pairs only. The payload crosses
+# NO exchange at any point: the kernel reduces each object to an
+# MM_FDIM-int vector in the scan stage, and only ids/band keys/features
+# shuffle. Real deployments plug a pHash/chromaprint-style extractor via
+# ``set_feature_extractor``; the deterministic fake is a centered
+# word-bigram hash histogram of the decoded body — doc-specific enough to
+# separate (measured on the sf0.01 fixture: random-pair cosine q99.9 =
+# 0.30, true near-dups 0.93-0.995; MM_TAU = 0.5 sits in the gap).
+# Exactness: features are integer-valued, planes are ×1000 integer
+# literals, |term| ≤ ~2.3e8 × 256 dims ≈ 6e10 ≪ 2⁵³ — the same
+# exact-in-any-order argument as the similarity module header, so the
+# numpy matmul, JVM fold and DuckDB twin agree bitwise.
+
+MM_FDIM = 256            # feature dims (2 md5 nibbles per bigram)
+MM_BANDS = 8             # LSH bands over the 96 sign bits
+MM_BITS_PER_BAND = 12    # 12 bits/band: random-pair band collision is
+#                          8·2⁻¹² ≈ 0.2% of all pairs (8 bits/band cost a
+#                          verify pass over 3% of n² — O(n²) in disguise),
+#                          while sim ≥ 0.95 pairs still collide on ≥1 band
+#                          w.p. ≥ 0.93 (≥ 0.999 at the fixture's 0.99s)
+MM_TAU = 0.5             # centered-cosine near-dup threshold
+
+_MM_FEATURE_SCHEMA = "doc_id long, v array<double>, n2 double"
+
+# pluggable real perceptual featurizer: body bytes -> int-valued vector
+_FEATURIZER: Callable[[bytes], np.ndarray] | None = None
+
+
+def set_feature_extractor(fn: Callable[[bytes], np.ndarray] | None) -> None:
+    """Install a real perceptual featurizer (pHash bits, audio chroma
+    bins, ...) of MM_FDIM integer components; the sandbox keeps the
+    deterministic fake."""
+    global _FEATURIZER
+    _FEATURIZER = fn
+
+
+def _make_mm_planes(
+    n: int = MM_BANDS * MM_BITS_PER_BAND, dim: int = MM_FDIM, seed: int = 13
+) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return [
+        [float(round(x * 1000)) for x in row] for row in rng.standard_normal((n, dim))
+    ]
+
+
+MM_PLANES: list[list[float]] = _make_mm_planes()
+_MM_PLANES_NP = np.array(MM_PLANES, dtype=np.float64)
+
+
+def _fake_feature(text: str) -> np.ndarray:
+    """The stubbed codec's perceptual feature: centered histogram of
+    word-bigram md5 cells, fv[b] = MM_FDIM·count_b − n_bigrams (exact
+    ints; centering makes independent docs near-orthogonal while
+    near-identical content keeps cosine ≈ 1). Tokenization and the
+    2-nibble cell match the house recipe (text.hash_cell) so the DuckDB
+    twin is expressible."""
+    import hashlib
+    import re
+
+    words = re.split(r"\s+", text.strip())
+    grams = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+    fv = np.zeros(MM_FDIM, dtype=np.int64)
+    for g in grams:
+        fv[int(hashlib.md5(g.encode("utf-8")).hexdigest()[:2], 16)] += 1
+    return fv * MM_FDIM - len(grams)
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """Decode-kernel feature extraction: (doc_id, v=int-valued feature
+    vector, n2=exact squared norm). mapInPandas over header-stripped
+    bodies; per-object Python is the featurizer call only — the codec
+    boundary, same contract as decode_features."""
+    media = _with_body(attach_media(documents).select("doc_id", "media"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _FEATURIZER is not None:  # pragma: no cover - real codec
+                feats = [
+                    np.asarray(_FEATURIZER(bytes(b)), dtype=np.int64)
+                    for b in pdf["body"]
+                ]
+            else:
+                feats = [
+                    _fake_feature(bytes(b).decode("utf-8")) for b in pdf["body"]
+                ]
+            fm = (
+                np.stack(feats).astype(np.float64)
+                if feats
+                else np.empty((0, MM_FDIM))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "v": list(fm),
+                    "n2": np.einsum("ij,ij->i", fm, fm),
+                }
+            )
+
+    return media.mapInPandas(gen, schema=_MM_FEATURE_SCHEMA)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _mm_band_buckets_pd(v: pd.Series) -> pd.Series:
+    """MM_BANDS bucket keys per feature vector in one exact matmul —
+    the media twin of similarity._band_buckets_pd."""
+    fm = (
+        np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        if len(v)
+        else np.empty((0, MM_FDIM))
+    )
+    bits = (fm @ _MM_PLANES_NP.T) >= 0
+    out = np.zeros((len(fm), MM_BANDS), dtype=np.int64)
+    for b in range(MM_BANDS):
+        for j in range(MM_BITS_PER_BAND):
+            out[:, b] |= bits[:, b * MM_BITS_PER_BAND + j].astype(np.int64) << j
+    return pd.Series(list(out))
+
+
+def media_feature_signature(features: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) over a (materialized) media_features table —
+    zero-norm vectors are excluded FIRST (a zero vector has no sign
+    direction; every one of them would otherwise pile into the same
+    bucket and fabricate a giant candidate block)."""
+    return (
+        features.where(F.col("n2") > 0)
+        .select("doc_id", _mm_band_buckets_pd(F.col("v")).alias("bks"))
+        .select("doc_id", F.posexplode("bks").alias("band", "bucket"))
+        .select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
+    )
+
+
+def media_near_dup(
+    documents: DataFrame,
+    tau: float = MM_TAU,
+    features_df: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual media near-duplicate pairs (a < b, centered-cosine ≥
+    tau): banded equi-join on the sign-LSH keys, exact integer-cosine
+    verify on candidates only. (doc_a, doc_b, n_bands, sim_x1m).
+    ``features_df``: a materialized media_features table (the reuse seam —
+    at 100 TB the features are extracted once per object's life and the
+    index probes them forever)."""
+    from .similarity import _dot
+
+    feats = features_df if features_df is not None else media_features(documents)
+    live = feats.where(F.col("n2") > 0)
+    sig = media_feature_signature(live)
+    cand_ids = (
+        sig.join(
+            sig.select(F.col("doc_id").alias("nb_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("doc_id") < F.col("nb_id"))
+        .groupBy("doc_id", "nb_id")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    fa = live.select(
+        F.col("doc_id").alias("_ida"), F.col("v").alias("va"), F.col("n2").alias("na")
+    )
+    fb = live.select(
+        F.col("doc_id").alias("_idb"), F.col("v").alias("vb"), F.col("n2").alias("nb")
+    )
+    cand = (
+        cand_ids.join(fa, cand_ids["doc_id"] == fa["_ida"])
+        .join(fb, cand_ids["nb_id"] == fb["_idb"])
+        .withColumn(
+            "sim", _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
+        )
+    )
+    return cand.where(F.col("sim") >= tau).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nb_id").alias("doc_b"),
+        "n_bands",
+        F.floor(F.col("sim") * 1_000_000).cast("long").alias("sim_x1m"),
     )

@@ -1490,6 +1490,64 @@ FROM u
 GROUP BY sha256('FAKE' || text)
 """
 
+# ---- perceptual media near-dup: mirrors multimodal.media_near_dup -----
+# Feature/plane/band constants interpolated from the SAME multimodal
+# module constants the Spark kernels embed; the fake codec's feature
+# (centered bigram-hash histogram) re-derived in SQL over the payload's
+# source text. Exact integer arithmetic throughout (module note).
+
+from .functions import multimodal as _mm  # noqa: E402
+
+
+_MM_FV = "[" + ", ".join(
+    f"CAST({_mm.MM_FDIM} * count(*) FILTER (nib = {b}) - count(*) AS DOUBLE)"
+    for b in range(_mm.MM_FDIM)
+) + "]"
+
+# planes as a VALUES table, not 64 inline constant-list CASE expressions —
+# DuckDB's planner OOMs compiling that many wide literal expressions; one
+# constant table + a (doc × plane) group-by computes the identical buckets
+_MM_PLANES_VALUES = ",\n    ".join(
+    f"({i}, [{', '.join(repr(x) for x in _mm.MM_PLANES[i])}])"
+    for i in range(_mm.MM_BANDS * _mm.MM_BITS_PER_BAND)
+)
+
+MM_SQL["mm_near_dup"] = f"""
+WITH ws AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS gram
+       FROM ws),
+nb AS (SELECT doc_id, {_hash_cell_sql("gram", 2)} AS nib FROM bg),
+fv AS (SELECT doc_id, {_MM_FV} AS v FROM nb GROUP BY doc_id),
+n AS (SELECT doc_id, v, list_dot_product(v, v) AS n2 FROM fv
+      WHERE list_dot_product(v, v) > 0),
+planes(p_idx, p) AS (VALUES
+    {_MM_PLANES_VALUES}),
+bk AS (
+  SELECT n.doc_id, CAST(p.p_idx // {_mm.MM_BITS_PER_BAND} AS BIGINT) AS band,
+         CAST(sum(CASE WHEN list_dot_product(n.v, p.p) >= 0
+                       THEN 1 << (p.p_idx % {_mm.MM_BITS_PER_BAND})
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM n, planes p
+  GROUP BY n.doc_id, p.p_idx // {_mm.MM_BITS_PER_BAND}
+)
+SELECT doc_a, doc_b, n_bands,
+       CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands,
+         list_dot_product(any_value(na.v), any_value(nb2.v))
+           / sqrt(any_value(na.n2) * any_value(nb2.n2)) AS sim
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+  JOIN n na ON na.doc_id = a.doc_id
+  JOIN n nb2 ON nb2.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) WHERE sim >= {_mm.MM_TAU}
+"""
+
 EVENTS_SQL["ev_distinct_users"] = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1617,13 +1675,10 @@ SELECT norm_mill // 100 AS norm_x10,
 FROM m GROUP BY 1
 """
 
-TEXT_SQL["dedup_cluster_sizes"] = _CLUSTERS_CTES + """
-, sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
-SELECT CAST(sz AS BIGINT) AS cluster_size,
-       CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(sz) AS BIGINT) AS n_docs
-FROM sizes GROUP BY sz
-"""
+# (dedup_cluster_sizes retired from the gate in round 4 — its histogram is
+# one GROUP BY over the same clusters seam dedup_rate_by_source gates, and
+# the 80-query registry slot went to mm_near_dup; the library function
+# dedup.cluster_size_histogram remains, pytest-covered.)
 
 
 MERGE_SQL["tbl_incremental"] = """

@@ -418,6 +418,23 @@ def main() -> None:
                      ["sha2-256 computed pre-shuffle; the exchange carries "
                       "(digest, doc_id) — ~72 B/row at any object size"]))
 
+    # --- media near-dup: banded equi-join, payload never shuffles ---------
+    mnq = QUERIES["mm_near_dup"](spark, SF)
+    mnplan = fmt_plan(mnq)
+    check("media near-dup no cartesian", "CartesianProduct" not in mnplan,
+          "perceptual candidates must come from an equi-join on the "
+          "(band, bucket) sign-LSH keys")
+    check("media near-dup payload never shuffles",
+          all("media#" not in x and "body#" not in x and "text#" not in x
+              for x in exchange_inputs(mnplan)),
+          "the decode kernel reduces each object to an MM_FDIM feature "
+          "vector in the scan stage — only ids/band keys/features cross "
+          "an exchange, never payload bytes")
+    sections.append(("mm_near_dup", mnplan,
+                     ["codec kernel → banded sign-LSH equi-join → exact "
+                      "integer-cosine verify on candidates; payload bytes "
+                      "never reach an exchange"]))
+
     # --- distinct users: explicit two-stage, no Expand --------------------
     duq = QUERIES["ev_distinct_users"](spark, SF)
     duplan = fmt_plan(duq)

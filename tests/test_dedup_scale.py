@@ -492,3 +492,61 @@ def test_quantized_dots_are_integer_valued(spark):
         F.transform("v", lambda x: F.abs(x)), F.lit(0.0),
         lambda acc, x: F.greatest(acc, x)))).collect()[0][0]
     assert mx * fsim._PLANES_ABS_MAX * fsim.DIM < 2.0**53
+
+
+def _df_pairs(spark, pairs):
+    return spark.createDataFrame(pairs or [(0, 0)], "doc_a long, doc_b long").where(
+        "doc_a != 0 or doc_b != 0" if not pairs else "true"
+    )
+
+
+def _df_nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_merge_clusters_equals_full_recompute(spark):
+    """Incremental cluster maintenance ≡ full CC on a two-batch fixture,
+    including the hard case: a batch doc BRIDGING two stored clusters.
+    Corpus A: {1,2}, {3}, {4}, {5,6}. Batch B: 7 dups 3; 8 bridges the
+    {1,2} and {5,6} clusters; 9 unique; 10 chains onto 7. The merge sees
+    ONLY batch-touching edges — old pairs are never re-read."""
+    edges_a = [(1, 2), (5, 6)]
+    edges_b = [(3, 7), (1, 8), (6, 8), (7, 10)]
+    stored = fdedup.components(_df_pairs(spark, edges_a), _df_nodes(spark, range(1, 7)))
+    incr = fdedup.merge_clusters(
+        stored, _df_nodes(spark, range(7, 11)), _df_pairs(spark, edges_b)
+    )
+    full = fdedup.components(
+        _df_pairs(spark, edges_a + edges_b), _df_nodes(spark, range(1, 11))
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, full.collect()))
+    got = {r["doc_id"]: r["cluster_id"] for r in incr.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 1, 6: 1, 7: 3, 8: 1, 9: 9, 10: 3}
+
+
+def test_merge_clusters_empty_batch_and_new_min_label(spark):
+    """Edge cases: an edge-free batch appends singletons untouched; a new
+    doc with a SMALLER id than its cluster's stored label becomes the new
+    canonical (label = min over the merged component, same as full CC)."""
+    stored = fdedup.components(_df_pairs(spark, [(20, 30)]), _df_nodes(spark, [20, 30, 40]))
+    only_new = fdedup.merge_clusters(
+        stored, _df_nodes(spark, [50]), _df_pairs(spark, []).limit(0)
+    )
+    assert sorted(map(tuple, only_new.collect())) == [
+        (20, 20, 1), (30, 20, 0), (40, 40, 1), (50, 50, 1)]
+    relabel = fdedup.merge_clusters(
+        stored, _df_nodes(spark, [5]), _df_pairs(spark, [(5, 30)])
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in relabel.collect()}
+    assert got == {5: (5, 1), 20: (5, 0), 30: (5, 0), 40: (40, 1)}
+
+
+def test_merge_clusters_remap_is_broadcast(spark):
+    """The stored table must pass through a BROADCAST lookup of the
+    batch-sized remap — never a corpus-wide shuffle join."""
+    stored = fdedup.components(_df_pairs(spark, [(1, 2)]), _df_nodes(spark, [1, 2, 3]))
+    out = fdedup.merge_clusters(
+        stored, _df_nodes(spark, [9]), _df_pairs(spark, [(2, 9)])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
