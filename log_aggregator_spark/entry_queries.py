@@ -223,19 +223,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def q_dedup_simhash(spark, sf_dir):
-    return fdedup.simhash(_docs(spark, sf_dir))
-
-
-def _simhash_pairs(spark, sf_dir):
+def _simhash(spark, sf_dir):
+    """The materialized simhash fingerprint table — the seam both the pair
+    REPORT (quadratic-by-nature answer enumeration) and the clustering's
+    O(n) connectivity edges derive from, so the corpus is fingerprinted
+    once per store."""
     return _memo(
-        spark, sf_dir, "simhash_pairs",
-        lambda: fdedup.simhash_near_pairs(_docs(spark, sf_dir)),
+        spark, sf_dir, "simhash",
+        lambda: fdedup.simhash(_docs(spark, sf_dir)),
     )
 
 
+def q_dedup_simhash(spark, sf_dir):
+    return _simhash(spark, sf_dir)
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    return _simhash_pairs(spark, sf_dir)
+    return fdedup.simhash_near_pairs(
+        _docs(spark, sf_dir), simhash_df=_simhash(spark, sf_dir)
+    )
 
 
 # Materialize-once intermediates, exactly as a real pipeline stores them:
@@ -289,7 +295,7 @@ def _clusters(spark, sf_dir):
         lambda: fdedup.duplicate_clusters(
             _docs(spark, sf_dir),
             shingles_df=_shingles(spark, sf_dir),
-            simhash_pairs_df=_simhash_pairs(spark, sf_dir),
+            simhash_df=_simhash(spark, sf_dir),
         ),
     )
 

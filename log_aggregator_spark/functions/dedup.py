@@ -245,12 +245,15 @@ def simhash(documents: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming ≤ max_hamming) via pigeonhole banding: split the
-    16 bits into 4 bands of 4; any pair within hamming ≤ 3 must agree on ≥1
-    band → equi-join on (band, band_bits), then exact hamming filter.
-    No quadratic work."""
-    sh = simhash(documents)
+def _simhash_value_pairs(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """(val_a < val_b, hamming ≤ max) over the DISTINCT simhash values —
+    the candidate stage runs in value space, which is bounded by 2^SIM_BITS
+    (65,536) at ANY corpus size: a hot template putting 10⁷ docs on one
+    fingerprint contributes ONE row here, where a doc-level bucket
+    self-join would build a 5·10¹³-pair clique. Pigeonhole banding: split
+    the 16 bits into 4 bands of 4; any pair within hamming ≤ 3 agrees on
+    ≥1 band → equi-join on (band, band_bits), exact hamming verify."""
+    vals = sh.select("simhash").distinct()
     bands = F.array(
         *[
             F.struct(
@@ -260,34 +263,100 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             for b in range(4)
         ]
     )
-    bk = sh.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
+    bk = vals.select("simhash", F.explode(bands).alias("bk")).select(
+        "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
     )
     a = bk.alias("a")
     b = bk.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("a.simhash").alias("val_a"), F.col("b.simhash").alias("val_b")
         )
         .distinct()
-    )
-    hamming = F.bit_count(
-        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    ).cast("long")
-    return (
-        pairs.withColumn("hamming", hamming)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("val_a").bitwiseXOR(F.col("val_b"))).cast("long"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    simhash_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming). Candidates are generated in
+    VALUE space (``_simhash_value_pairs`` — bounded by 2^SIM_BITS rows at
+    any corpus size), then expanded to doc pairs: same-value pairs join
+    within each fingerprint group, cross-value pairs join the two groups.
+    The OUTPUT is inherently quadratic in a hot fingerprint (the answer
+    itself lists every pair) — but no wasted candidate ever exists, and
+    the quadratic part is pure answer enumeration. Same rows as the old
+    doc-level banded join, pytest- and gate-verified. Use
+    ``simhash_value_edges`` (O(n) rows) when the consumer only needs
+    connectivity, e.g. clustering. ``simhash_df``: a materialized simhash
+    table (the reuse seam)."""
+    sh = simhash_df if simhash_df is not None else simhash(documents)
+    same = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.simhash") == F.col("y.simhash"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    vp = _simhash_value_pairs(sh, max_hamming)
+    cross = (
+        vp.join(sh.alias("x"), F.col("x.simhash") == F.col("val_a"))
+        .join(sh.alias("y"), F.col("y.simhash") == F.col("val_b"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
+
+
+def simhash_value_edges(
+    documents: DataFrame, max_hamming: int = 3, simhash_df: DataFrame | None = None
+) -> DataFrame:
+    """Connectivity-equivalent simhash edges for CLUSTERING — O(n) doc
+    rows at any skew: docs sharing a fingerprint connect by star edges to
+    the group's min doc (rep), and ≤-max_hamming VALUE pairs connect the
+    two reps. Components over these edges equal components over the full
+    verified pair clique (every clique member reaches every other through
+    its rep), so ``duplicate_clusters`` never pays the quadratic
+    enumeration that the pair REPORT (simhash_near_pairs) inherently is.
+    ``simhash_df``: a materialized simhash table (the reuse seam)."""
+    sh = simhash_df if simhash_df is not None else simhash(documents)
+    rep = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    star = (
+        sh.join(rep, "simhash")
+        .where(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    vp = _simhash_value_pairs(sh, max_hamming)
+    ra = rep.select(F.col("simhash").alias("val_a"), F.col("rep").alias("rep_a"))
+    rb = rep.select(F.col("simhash").alias("val_b"), F.col("rep").alias("rep_b"))
+    rep_edges = (
+        vp.join(ra, "val_a")
+        .join(rb, "val_b")
+        .select(
+            F.least("rep_a", "rep_b").alias("doc_a"),
+            F.greatest("rep_a", "rep_b").alias("doc_b"),
+        )
+    )
+    return star.unionByName(rep_edges).distinct()
 
 
 # ----------------------------------- duplicate clustering / survivor pick
@@ -310,25 +379,25 @@ def exact_pairs(documents: DataFrame) -> DataFrame:
 def all_near_dup_pairs(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
-    simhash_pairs_df: DataFrame | None = None,
+    simhash_df: DataFrame | None = None,
 ) -> DataFrame:
-    """The union pair graph the survivor pick runs on: exact ∪ MinHash-LSH ∪
-    SimHash edges, all from banded equi-joins (nothing quadratic). The two
-    expensive edge families accept materialized inputs (``shingles_df``,
-    ``simhash_pairs_df``) — the same store-the-intermediate seam as
-    clusters/survivors."""
-    sim_pairs = (
-        simhash_pairs_df
-        if simhash_pairs_df is not None
-        else simhash_near_pairs(documents)
-    )
+    """The union edge graph the clustering runs on: exact ∪ MinHash-LSH ∪
+    SimHash edges, all from banded equi-joins (nothing quadratic). The
+    simhash family contributes ``simhash_value_edges`` — connectivity-
+    equivalent star+rep edges, O(n) rows at any fingerprint skew — never
+    the pair REPORT (which enumerates hot-fingerprint cliques by
+    definition). The expensive inputs accept materialized tables
+    (``shingles_df``, ``simhash_df``) — the same store-the-intermediate
+    seam as clusters/survivors."""
     return (
         exact_pairs(documents)
         .unionByName(
             minhash_candidate_pairs(documents, shingles_df=shingles_df)
             .select("doc_a", "doc_b")
         )
-        .unionByName(sim_pairs.select("doc_a", "doc_b"))
+        .unionByName(
+            simhash_value_edges(documents, simhash_df=simhash_df)
+        )
         .distinct()
     )
 
@@ -435,7 +504,7 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
 def duplicate_clusters(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
-    simhash_pairs_df: DataFrame | None = None,
+    simhash_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) over the full union pair graph —
     the end-to-end dedup: every doc labeled with its duplicate-cluster id,
@@ -453,7 +522,7 @@ def duplicate_clusters(
         all_near_dup_pairs(
             documents,
             shingles_df=shingles_df,
-            simhash_pairs_df=simhash_pairs_df,
+            simhash_df=simhash_df,
         ),
         documents.select("doc_id"),
     )

@@ -541,6 +541,52 @@ def test_merge_clusters_empty_batch_and_new_min_label(spark):
     assert got == {5: (5, 1), 20: (5, 0), 30: (5, 0), 40: (40, 1)}
 
 
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """The value-space candidate stage must reproduce EXACTLY the doc-level
+    definition — all (doc_a < doc_b) with hamming(simhash) ≤ 3 — on a
+    fixture with both same-fingerprint groups and cross-value neighbors."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    sh = {r["doc_id"]: r["simhash"] for r in fdedup.simhash(docs).collect()}
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in fdedup.simhash_near_pairs(docs).collect()
+    }
+    assert got == want
+    assert any(h == 0 for *_, h in got) and any(h > 0 for *_, h in got)
+
+
+def test_simhash_value_edges_connectivity_equivalent(spark):
+    """Components over the O(n) star+rep edge graph must equal components
+    over the full verified pair set (the clustering-correctness claim)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    nodes = docs.select("doc_id")
+    via_edges = fdedup.components(fdedup.simhash_value_edges(docs), nodes)
+    via_pairs = fdedup.components(
+        fdedup.simhash_near_pairs(docs).select("doc_a", "doc_b"), nodes
+    )
+    assert sorted(map(tuple, via_edges.collect())) == \
+           sorted(map(tuple, via_pairs.collect()))
+
+
+def test_simhash_hot_fingerprint_edges_stay_linear(spark):
+    """One hot template putting every doc on a single fingerprint: the
+    clustering edge graph is exactly n-1 star edges, while the pair REPORT
+    is the C(n,2) clique it inherently enumerates — the skew case the
+    value-space split exists for."""
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, "same template text every time") for i in range(n)],
+        schema="doc_id long, text string",
+    )
+    assert fdedup.simhash_value_edges(docs).count() == n - 1
+    assert fdedup.simhash_near_pairs(docs).count() == n * (n - 1) // 2
+
+
 def test_merge_clusters_remap_is_broadcast(spark):
     """The stored table must pass through a BROADCAST lookup of the
     batch-sized remap — never a corpus-wide shuffle join."""
