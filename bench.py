@@ -85,6 +85,89 @@ def materialize_synth(spark, n_docs: int, out_dir: str, files: int = 512) -> tup
     return path, routes_path
 
 
+def materialize_dedup_synth(spark, n_docs: int, out_dir: str, files: int = 256) -> str:
+    """One-time generation of the deterministic SKEWED dedup corpus:
+
+    * 20% of docs are byte-identical copies of one hot template — the giant
+      exact-dup cluster (worst-case key for naive pair generation; its
+      shingles blow past DF_CAP, exactly as a hot boilerplate does at 100 TB);
+    * the rest form 4-doc near-dup clusters sharing 24 of 26 words (rare
+      shingles → survive the df cap and exercise the MinHash-LSH path;
+      within-cluster Jaccard ≈ 0.85).
+
+    All structure derives from the doc id — no rand(), so both parallelism
+    levels and every repeat read the identical corpus."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out_dir, f"dedup_synth_{n_docs}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    hot_n = n_docs // 5
+    gid = F.floor((F.col("id") - hot_n) / 4).cast("long")
+    shared = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.hash(gid, F.lit(i)), F.lit(1_000_000)).cast("string"),
+        )
+        for i in range(24)
+    ]
+    uniq = [
+        F.concat(F.lit("u"), F.col("id").cast("string"), F.lit(f"x{j}"))
+        for j in range(2)
+    ]
+    hot_text = " ".join(f"hot{i}" for i in range(26))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot_n, F.lit(hot_text))
+        .otherwise(F.concat_ws(" ", *shared, *uniq))
+        .alias("text"),
+    )
+    docs.repartition(files).write.mode("overwrite").parquet(path)
+    open(done, "w").close()
+    return path
+
+
+def run_dedup_job(spark, docs_path: str) -> dict:
+    """One measured dedup-family pass over the skewed corpus — the two
+    workloads the 100 TB story rests on:
+
+    * LSH — capped shingles → minhash signatures → banded candidate join
+      (count() forces the full pair lattice);
+    * CC — ``duplicate_clusters`` (exact ∪ MinHash ∪ simhash-value edges →
+      iterative min-label components), reduced by a checksum aggregate so
+      every label is computed but nothing wide is collected.
+    """
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark.functions import dedup as fdedup
+
+    docs = spark.read.parquet(docs_path)
+    t0 = time.perf_counter()
+    n_pairs = fdedup.minhash_candidate_pairs(docs).count()
+    t1 = time.perf_counter()
+    row = (
+        fdedup.duplicate_clusters(docs)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.col("cluster_id") % 997).alias("checksum"),
+        )
+        .collect()[0]
+    )
+    t2 = time.perf_counter()
+    return {
+        "sec": t2 - t0,
+        "lsh_sec": round(t1 - t0, 3),
+        "cc_sec": round(t2 - t1, 3),
+        "n_docs": row["n_docs"],
+        "n_pairs": n_pairs,
+        "n_clusters": row["n_clusters"],
+        "checksum": int(row["checksum"]),
+    }
+
+
 def shm_or(workdir: str, sub: str) -> str:
     """Prefer tmpfs for shuffle/local dirs and measured sink output — the
     sandbox stand-in for the per-executor local NVMe + distributed sink a
@@ -435,6 +518,119 @@ def main_scaling(args) -> None:
     _write_bench_md(summaries)
 
 
+def main_dedup(args) -> None:
+    """Inner (pinned-subprocess) dedup measurement at one parallelism
+    level: warm-up pass, then min of --dedup-runs measured passes."""
+    from log_aggregator_spark.session import get_spark
+
+    cores = args.cores or "8"
+    spark = get_spark(
+        "bench-dedup", cores=cores,
+        shuffle_partitions=args.shuffle_partitions,
+        extra_conf={"spark.local.dir": shm_or(args.workdir, f"dedup_{cores}")},
+    )
+    path = materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
+    run_dedup_job(spark, path)  # warm-up: JIT/codegen at real batch sizes
+    runs = sorted(
+        (run_dedup_job(spark, path) for _ in range(args.dedup_runs)),
+        key=lambda r: r["sec"],
+    )
+    best = dict(runs[0])
+    best["all_runs_sec"] = [round(r["sec"], 3) for r in runs]
+    best["sec"] = round(best["sec"], 3)
+    best["cores"] = str(cores)
+    best["docs_per_sec"] = round(best["n_docs"] / best["sec"], 1)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(best, f, indent=1)
+    print(json.dumps(best))
+    spark.stop()
+
+
+def main_scaling_dedup(args) -> None:
+    """North-rule evidence for the DEDUP family (the actual 100 TB
+    workload): the identical LSH + clustering job on the identical skewed
+    corpus at local[N] vs local[4N], pinned process trees. Writes the pair
+    JSONs + a summary row under BENCH/."""
+    # materialize once, unpinned, full-size JVM (same discipline as the
+    # pipeline scaling path)
+    from log_aggregator_spark.session import get_spark
+
+    os.makedirs(args.workdir, exist_ok=True)
+    if not os.path.exists(
+        os.path.join(args.workdir, f"dedup_synth_{args.dedup_docs}", "_DONE")
+    ):
+        spark = get_spark(
+            "bench-materialize", cores="*",
+            extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")},
+        )
+        materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
+        spark.stop()
+
+    results = {}
+    for cores in (args.n, args.n * 4):
+        results[cores] = _run_pinned_dedup(cores, args)
+    lo, hi = results[args.n], results[args.n * 4]
+    # correctness control: both levels must compute the identical answer
+    for k in ("n_pairs", "n_clusters", "checksum"):
+        assert lo[k] == hi[k], f"{k} differs across levels: {lo[k]} != {hi[k]}"
+    ratio = 4.0
+    summary = {
+        "metric": "dedup_scaling_efficiency",
+        "value": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3),
+        "unit": "ratio",
+        "n_cores": f"local[{args.n}]",
+        "n4_cores": f"local[{args.n * 4}]",
+        "docs_per_sec_n": lo["docs_per_sec"],
+        "docs_per_sec_4n": hi["docs_per_sec"],
+        "sec_n": lo["sec"],
+        "sec_4n": hi["sec"],
+        "lsh_sec_n": lo["lsh_sec"],
+        "lsh_sec_4n": hi["lsh_sec"],
+        "cc_sec_n": lo["cc_sec"],
+        "cc_sec_4n": hi["cc_sec"],
+        "dedup_docs": args.dedup_docs,
+        "n_pairs": lo["n_pairs"],
+        "n_clusters": lo["n_clusters"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH",
+                           f"DEDUP_SCALING_{args.dedup_docs}.json"), "w") as f:
+        json.dump({"summary": summary, "levels": results}, f, indent=1)
+    print(json.dumps(summary))
+
+
+def _run_pinned_dedup(cores: int, args) -> dict:
+    """Pinned dedup subprocess at exactly ``cores`` CPUs (same taskset
+    discipline as ``_run_pinned``)."""
+    json_out = os.path.join(args.workdir, f"dedup_scaling_{cores}.json")
+    cmd = [
+        sys.executable, __file__,
+        "--dedup-run",
+        "--dedup-docs", str(args.dedup_docs),
+        "--dedup-runs", str(args.dedup_runs),
+        "--workdir", args.workdir,
+        "--cores", str(cores),
+        "--json-out", json_out,
+    ]
+    if args.shuffle_partitions:
+        cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    log = os.path.join(args.workdir, f"dedup_scaling_{cores}.log")
+    for attempt in (1, 2):
+        with open(log, "w") as lf:
+            r = subprocess.run(cmd, env=env, stdout=lf, stderr=subprocess.STDOUT)
+        if r.returncode == 0:
+            break
+        if attempt == 2:
+            raise RuntimeError(f"dedup bench subprocess failed twice; see {log}")
+    with open(json_out) as f:
+        return json.load(f)
+
+
 def _write_bench_md(summaries: list[dict]) -> None:
     s = summaries[0]
     rows = "\n".join(
@@ -550,8 +746,20 @@ if __name__ == "__main__":
     p.add_argument("--workdir", default="/tmp/la_spark_bench")
     p.add_argument("--json-out", default=None)
     p.add_argument("--skip-queries", action="store_true")
+    p.add_argument("--scaling-dedup", action="store_true",
+                   help="N vs 4N scaling for the dedup family (LSH pairs + "
+                        "duplicate clustering on the skewed synth corpus)")
+    p.add_argument("--dedup-run", action="store_true",
+                   help="(internal) single-level dedup measurement")
+    p.add_argument("--dedup-docs", type=int, default=1_000_000)
+    p.add_argument("--dedup-runs", type=int, default=2,
+                   help="measured passes per level (min is reported)")
     args = p.parse_args()
-    if args.scaling:
+    if args.scaling_dedup:
+        main_scaling_dedup(args)
+    elif args.dedup_run:
+        main_dedup(args)
+    elif args.scaling:
         if not args.synth_docs:
             args.synth_docs = 2_000_000
         main_scaling(args)
