@@ -639,23 +639,103 @@ def ivf_probe_cells(embeddings: DataFrame, nprobe: int = NPROBE) -> DataFrame:
     )
 
 
+def _ivf_cell_topk(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cell block kernel: (queries probing this cell) × (members of
+    this cell) in ONE exact matmul, then per-query top-k with the shared
+    tie rule (sim desc, nb_id asc — members id-sorted + stable argsort).
+    Queries are processed in 1024-row slices so the sim matrix stays
+    bounded by 1024 × |cell|. Emits (vec_id, nb_id, sim) — at most k rows
+    per (query, cell), the partial the global re-rank consumes."""
+    out = []
+    if len(qpdf) and len(mpdf):
+        mpdf = mpdf.sort_values("nb_id")
+        nb_ids = mpdf["nb_id"].to_numpy(dtype=np.int64)
+        mm = _np_rows(mpdf["vb"])
+        n2m = mpdf["nb"].to_numpy(dtype=np.float64)
+        for lo in range(0, len(qpdf), 1024):
+            qc = qpdf.iloc[lo:lo + 1024]
+            qids = qc["vec_id"].to_numpy(dtype=np.int64)
+            qm = _np_rows(qc["va"])
+            n2q = qc["na"].to_numpy(dtype=np.float64)
+            sims = (qm @ mm.T) / np.sqrt(np.outer(n2q, n2m))
+            sims[qids[:, None] == nb_ids[None, :]] = -np.inf  # self-mask
+            kk = min(int(qc["k"].iloc[0]), sims.shape[1])
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(sims, idx, axis=1)
+            keep = np.isfinite(top.ravel())
+            out.append(pd.DataFrame({
+                "vec_id": np.repeat(qids, kk)[keep],
+                "nb_id": nb_ids[idx].ravel()[keep],
+                "sim": top.ravel()[keep],
+            }))
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                           "nb_id": pd.Series(dtype="int64"),
+                           "sim": pd.Series(dtype="float64")})
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = LSH_TOPK,
     queries: DataFrame | None = None,
     nprobe: int = NPROBE,
     assign_df: DataFrame | None = None,
+    impl: str = "block",
 ) -> DataFrame:
     """Approximate top-k via IVF: rank exact cosine within the probed
     cells. Each corpus vector lives in exactly ONE cell and a query probes
     nprobe distinct cells, so a (query, neighbor) candidate appears at most
     once — no dedup aggregation at all (vs LSH's per-pair groupBy).
+
+    ``impl="block"`` (default, the FAISS shape): cogroup queries and
+    members by cell and scan each cell's inverted list with ONE matmul per
+    1024-query slice — every vector crosses Arrow once per cell it touches
+    (members ×1, queries ×nprobe) instead of twice per candidate pair, and
+    the per-pair interpreted fold disappears (measured 7.5 s → sub-second
+    at sf0.1). Per-cell partials are ≤ k rows per (query, cell); the global
+    re-rank windows over ≤ nprobe·k rows per query. The sim arithmetic is
+    the byte-identical IEEE sequence of ``_pair_sim_col`` (exact integer
+    dot, then /sqrt(na·nb)), so block ≡ join bitwise — asserted in tests.
+    Scale contract (same as FAISS): K_CELLS grows ~√n so one cell's
+    inverted list is a bounded block per task; the 1024-row query slicing
+    bounds the matmul regardless of probe fan-in.
+
+    ``impl="join"``: the ids-only candidate join + per-pair JVM fold —
+    the streaming twin kept for the equality test.
     ``assign_df``: a materialized ivf_assign index (the reuse seam).
     (vec_id, rank, neighbor_id)."""
     assign = assign_df if assign_df is not None else ivf_assign(embeddings)
-    probes = ivf_probe_cells(
-        queries if queries is not None else embeddings, nprobe=nprobe
-    )
+    qside = queries if queries is not None else embeddings
+    probes = ivf_probe_cells(qside, nprobe=nprobe)
+    if impl == "block":
+        v = _vecs(embeddings)
+        mem = assign.join(v, "vec_id").select(
+            "cell",
+            F.col("vec_id").alias("nb_id"),
+            F.col("v").alias("vb"),
+            F.col("n2").alias("nb"),
+        )
+        qs = probes.join(_vecs(qside), "vec_id").select(
+            "cell", "vec_id",
+            F.col("v").alias("va"), F.col("n2").alias("na"),
+            F.lit(k).alias("k"),
+        )
+        partial = qs.groupBy("cell").cogroup(mem.groupBy("cell")).applyInPandas(
+            _ivf_cell_topk, "vec_id long, nb_id long, sim double"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("nb_id"))
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "vec_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("nb_id").alias("neighbor_id"),
+            )
+        )
     cand_ids = (
         probes.join(
             assign.select(F.col("vec_id").alias("nb_id"), "cell"), ["cell"]

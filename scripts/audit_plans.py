@@ -392,6 +392,19 @@ def main() -> None:
                      ["distinct (user, day) partial-agg → ≤7 anchor rows "
                       "per pair → per-day countDistinct; no window"]))
 
+    # --- IVF top-k: per-cell block matmul (FAISS shape), no cartesian -----
+    ivq = QUERIES["sim_ivf_topk"](spark, SF)
+    ivplan = fmt_plan(ivq)
+    check("ivf topk block kernel", "FlatMapCoGroupsInPandas" in ivplan,
+          "the probed-cell scan must be the cogrouped per-cell matmul — "
+          "one Arrow crossing per (vector, cell), never a per-pair fold")
+    check("ivf topk no cartesian", "CartesianProduct" not in ivplan,
+          "candidates are confined to probed cells via the cogroup key")
+    sections.append(("sim_ivf_topk", ivplan,
+                     ["cogroup(queries-by-probed-cell, members-by-cell) → "
+                      "block matmul partials (≤k rows per query·cell) → "
+                      "global re-rank over ≤ nprobe·k rows per query"]))
+
     bq = QUERIES["sim_brute_topk"](spark, SF)
     bplan = fmt_plan(bq)
     check("brute matmul kernel", "MapInPandas" in bplan,

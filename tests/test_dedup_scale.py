@@ -480,6 +480,23 @@ def test_arrow_kernels_equal_jvm_twins(spark):
     assert both.count() == 0
 
 
+def test_ivf_topk_block_equals_join(spark):
+    """The per-cell block-matmul path (FAISS shape, default) must return
+    row-identical results to the ids-only candidate-join twin — same exact
+    IEEE op sequence, same (sim desc, nb_id asc) tie rule, self excluded,
+    including with a separate query side."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = fsim.ivf_topk(emb, impl="block").orderBy("vec_id", "rank").toPandas()
+    b = fsim.ivf_topk(emb, impl="join").orderBy("vec_id", "rank").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    q = emb.where(F.col("vec_id") % 7 == 0)
+    aq = fsim.ivf_topk(emb, queries=q, k=3, impl="block").orderBy(
+        "vec_id", "rank").toPandas()
+    bq = fsim.ivf_topk(emb, queries=q, k=3, impl="join").orderBy(
+        "vec_id", "rank").toPandas()
+    pd.testing.assert_frame_equal(aq, bq)
+
+
 def test_quantized_dots_are_integer_valued(spark):
     """Every quantized dot must be an exact integer (the precondition of
     the cross-engine exactness argument): n2 == floor(n2) for the whole
