@@ -130,20 +130,24 @@ def materialize_dedup_synth(spark, n_docs: int, out_dir: str, files: int = 256) 
 
 
 def run_dedup_job(spark, docs_path: str) -> dict:
-    """One measured dedup-family pass over the skewed corpus — the two
-    workloads the 100 TB story rests on:
+    """One measured dedup-family pass over the skewed corpus, in the
+    deployment shape from README's operational map — every full-corpus
+    intermediate computed ONCE:
 
-    * LSH — capped shingles → minhash signatures → banded candidate join
-      (count() forces the full pair lattice);
-    * CC — ``duplicate_clusters`` over the deployment edge set
-      (exact ∪ MinHash → iterative min-label components), reduced by a
-      checksum aggregate so every label is computed but nothing wide is
-      collected. The 16-bit simhash family is excluded here by policy:
-      its 2^16 value space saturates past ~10^5 docs, hamming≤3 then
-      connects the whole value space and CC degenerates to one giant
-      component — a well-defined but adversarial workload, recorded once
-      as a CC stress test in BENCH/BASELINE.md, not the shape a
-      deployment runs daily (see ``dedup.duplicate_clusters`` docstring).
+    * pair graph — capped shingles → minhash signatures → banded candidate
+      join, unioned with the exact-dup star edges, materialized once
+      (``localCheckpoint`` here stands in for the stored pairs table a
+      deployment keeps; the count forces + reports the full lattice);
+    * CC — ``components`` over that stored graph (iterative min-label with
+      contraction), reduced by a checksum aggregate so every label is
+      computed but nothing wide is collected.
+
+    The 16-bit simhash family is excluded by policy: its 2^16 value space
+    saturates past ~10^5 docs, hamming≤3 then connects the whole value
+    space and CC degenerates to one giant component — a well-defined but
+    adversarial workload, recorded once as a CC stress test in
+    BENCH/BASELINE.md, not the shape a deployment runs daily (see
+    ``dedup.duplicate_clusters`` docstring).
     """
     from pyspark.sql import functions as F
 
@@ -151,10 +155,13 @@ def run_dedup_job(spark, docs_path: str) -> dict:
 
     docs = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
-    n_pairs = fdedup.minhash_candidate_pairs(docs).count()
+    pairs = fdedup.all_near_dup_pairs(
+        docs, edge_families=("exact", "minhash")
+    ).localCheckpoint()
+    n_pairs = pairs.count()
     t1 = time.perf_counter()
     row = (
-        fdedup.duplicate_clusters(docs, edge_families=("exact", "minhash"))
+        fdedup.components(pairs, docs.select("doc_id"))
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
@@ -172,7 +179,7 @@ def run_dedup_job(spark, docs_path: str) -> dict:
         jrdd.unpersist()
     return {
         "sec": t2 - t0,
-        "lsh_sec": round(t1 - t0, 3),
+        "pairs_sec": round(t1 - t0, 3),
         "cc_sec": round(t2 - t1, 3),
         "n_docs": row["n_docs"],
         "n_pairs": n_pairs,
@@ -598,8 +605,8 @@ def main_scaling_dedup(args) -> None:
         "docs_per_sec_4n": hi["docs_per_sec"],
         "sec_n": lo["sec"],
         "sec_4n": hi["sec"],
-        "lsh_sec_n": lo["lsh_sec"],
-        "lsh_sec_4n": hi["lsh_sec"],
+        "pairs_sec_n": lo["pairs_sec"],
+        "pairs_sec_4n": hi["pairs_sec"],
         "cc_sec_n": lo["cc_sec"],
         "cc_sec_4n": hi["cc_sec"],
         "dedup_docs": args.dedup_docs,
