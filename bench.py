@@ -543,12 +543,29 @@ def main_dedup(args) -> None:
     level: warm-up pass, then min of --dedup-runs measured passes."""
     from log_aggregator_spark.session import get_spark
 
-    cores = args.cores or "8"
-    spark = get_spark(
-        "bench-dedup", cores=cores,
-        shuffle_partitions=args.shuffle_partitions,
-        extra_conf={"spark.local.dir": shm_or(args.workdir, f"dedup_{cores}")},
-    )
+    if args.lc_executors:
+        # true multi-executor form: each executor its own JVM (same
+        # discipline as the pipeline scaling path's executor pair)
+        os.environ.setdefault("SPARK_HOME", "/opt/spark")
+        tag = f"exec_{args.lc_executors}"
+        spark = get_spark(
+            "bench-dedup", cores=lc_master(args.lc_executors,
+                                           mem_mb=args.lc_mem_mb),
+            shuffle_partitions=args.shuffle_partitions or 32,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"dedup_{tag}"),
+                "spark.executorEnv.PYTHONPATH": REPO,
+            },
+        )
+        cores = tag
+    else:
+        cores = args.cores or "8"
+        spark = get_spark(
+            "bench-dedup", cores=cores,
+            shuffle_partitions=args.shuffle_partitions,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"dedup_{cores}")},
+        )
     path = materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
     run_dedup_job(spark, path)  # warm-up: JIT/codegen at real batch sizes
     runs = sorted(
@@ -588,9 +605,19 @@ def main_scaling_dedup(args) -> None:
         spark.stop()
 
     results = {}
-    for cores in (args.n, args.n * 4):
-        results[cores] = _run_pinned_dedup(cores, args)
-    lo, hi = results[args.n], results[args.n * 4]
+    if args.skip_local_pair:
+        # executor pair: 1 vs 4 REAL executor JVMs, 4 cores + lc-mem each,
+        # process tree pinned to 4N+1 CPUs (driver outside the budget)
+        lo = results["exec_1"] = _run_pinned_dedup(0, args, lc_executors=1)
+        hi = results["exec_4"] = _run_pinned_dedup(0, args, lc_executors=4)
+        n_label, n4_label = "local-cluster[1,4]", "local-cluster[4,4]"
+        out_name = f"DEDUP_SCALING_{args.dedup_docs}_exec.json"
+    else:
+        for cores in (args.n, args.n * 4):
+            results[cores] = _run_pinned_dedup(cores, args)
+        lo, hi = results[args.n], results[args.n * 4]
+        n_label, n4_label = f"local[{args.n}]", f"local[{args.n * 4}]"
+        out_name = f"DEDUP_SCALING_{args.dedup_docs}.json"
     # correctness control: both levels must compute the identical answer
     for k in ("n_pairs", "n_clusters", "checksum"):
         assert lo[k] == hi[k], f"{k} differs across levels: {lo[k]} != {hi[k]}"
@@ -599,8 +626,8 @@ def main_scaling_dedup(args) -> None:
         "metric": "dedup_scaling_efficiency",
         "value": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio, 3),
         "unit": "ratio",
-        "n_cores": f"local[{args.n}]",
-        "n4_cores": f"local[{args.n * 4}]",
+        "n_cores": n_label,
+        "n4_cores": n4_label,
         "docs_per_sec_n": lo["docs_per_sec"],
         "docs_per_sec_4n": hi["docs_per_sec"],
         "sec_n": lo["sec"],
@@ -614,32 +641,39 @@ def main_scaling_dedup(args) -> None:
         "n_clusters": lo["n_clusters"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH",
-                           f"DEDUP_SCALING_{args.dedup_docs}.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump({"summary": summary, "levels": results}, f, indent=1)
     print(json.dumps(summary))
 
 
-def _run_pinned_dedup(cores: int, args) -> dict:
+def _run_pinned_dedup(cores: int, args, lc_executors: int = 0) -> dict:
     """Pinned dedup subprocess at exactly ``cores`` CPUs (same taskset
-    discipline as ``_run_pinned``)."""
-    json_out = os.path.join(args.workdir, f"dedup_scaling_{cores}.json")
+    discipline as ``_run_pinned``); executor mode pins 4 cores per
+    executor + 1 for the driver."""
+    tag = f"exec_{lc_executors}" if lc_executors else str(cores)
+    json_out = os.path.join(args.workdir, f"dedup_scaling_{tag}.json")
     cmd = [
         sys.executable, __file__,
         "--dedup-run",
         "--dedup-docs", str(args.dedup_docs),
         "--dedup-runs", str(args.dedup_runs),
         "--workdir", args.workdir,
-        "--cores", str(cores),
         "--json-out", json_out,
     ]
+    if lc_executors:
+        cmd += ["--lc-executors", str(lc_executors),
+                "--lc-mem-mb", str(args.lc_mem_mb)]
+        pin_cores = 4 * lc_executors + 1
+    else:
+        cmd += ["--cores", str(cores)]
+        pin_cores = cores
     if args.shuffle_partitions:
         cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    log = os.path.join(args.workdir, f"dedup_scaling_{cores}.log")
+    log = os.path.join(args.workdir, f"dedup_scaling_{tag}.log")
     for attempt in (1, 2):
         with open(log, "w") as lf:
             r = subprocess.run(cmd, env=env, stdout=lf, stderr=subprocess.STDOUT)
