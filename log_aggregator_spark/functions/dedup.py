@@ -25,10 +25,13 @@ Scale design notes (10^12-doc regime):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
-from .text import shingles
+from .text import _py_words, shingles
 
 # Drop shingles appearing in more than DF_CAP documents before any pair
 # join. Above the fixtures' max df (7 at sf0.01, 25 at sf0.1) so oracle
@@ -705,7 +708,8 @@ def survivors_by_quality(
 SPAN_WORDS = 8
 
 
-def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
+def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS,
+               impl: str = "arrow") -> DataFrame:
     """Exact-substring dedup à la Lee et al. 2107.06499 ("Deduplicating
     Training Data Makes Language Models Better" dedups 50-token substrings
     with a suffix array), block-approximated for a shared-nothing engine:
@@ -725,11 +729,34 @@ def span_dedup(documents: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
     document's blocks.
     (doc_id, n_spans, n_dropped, dedup_md5)."""
     w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n_blocks = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
-    )
+    if impl == "jvm":
+        n_blocks = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+        blocks = F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * span_words + 1, span_words)
+            ),
+        )
+    else:
+        # vectorized twin of the HOF above (see text.gram_array): chunks
+        # of span_words words, the shorter tail block included
+        @pandas_udf(ArrayType(StringType()))
+        def _blocks(texts: pd.Series) -> pd.Series:
+            def one(t):
+                if t is None:
+                    # the HOF's sequence(0, ceil(size(null)/k)-1) is NULL:
+                    # posexplode drops null-text docs in both impls
+                    return None
+                ws = _py_words(t, lower=True)
+                nb = (len(ws) + span_words - 1) // span_words
+                return [
+                    " ".join(ws[i * span_words:(i + 1) * span_words])
+                    for i in range(nb)
+                ]
+
+            return texts.map(one)
+
+        blocks = _blocks("text")
     inst = documents.select(
         "doc_id",
         F.size(w).alias("nw"),

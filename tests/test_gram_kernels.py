@@ -101,3 +101,16 @@ def test_repetition_arrow_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_span_dedup_arrow_equals_jvm_twin(spark):
+    from log_aggregator_spark.functions import dedup as fdedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = fdedup.span_dedup(docs).orderBy("doc_id")
+    j = fdedup.span_dedup(docs, impl="jvm").orderBy("doc_id")
+    pd.testing.assert_frame_equal(_collect(a), _collect(j))
+    edges = _docs(spark)
+    ae = fdedup.span_dedup(edges, span_words=2).orderBy("doc_id")
+    je = fdedup.span_dedup(edges, span_words=2, impl="jvm").orderBy("doc_id")
+    pd.testing.assert_frame_equal(_collect(ae), _collect(je))
