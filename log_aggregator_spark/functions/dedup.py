@@ -25,6 +25,8 @@ Scale design notes (10^12-doc regime):
 
 from __future__ import annotations
 
+import threading
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -445,7 +447,27 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     is the one place driver-side looping is the *correct* Spark shape —
     each iteration is still a fully distributed job). Convergence check =
     an aggregate over the label delta, not a collect.
+
+    Concurrency: superseded checkpoint generations are attributed by
+    diffing the context-global persistent-RDD map around each
+    ``localCheckpoint`` — a driver-side bookkeeping read that is only
+    valid if no OTHER thread persists an RDD inside the diff window
+    (its block would be adopted and force-unpersisted, and a truncated
+    localCheckpoint cannot be recomputed). ``_CC_LOCK`` serializes the
+    whole CC run per driver process: concurrent ``components`` /
+    ``merge_clusters`` calls queue instead of corrupting each other.
+    Callers that persist unrelated RDDs from their own threads while a CC
+    job runs are outside the engine's contract (every production path —
+    entry queries, run_job, bench — drives Spark from one thread).
     """
+    with _CC_LOCK:
+        return _components_unlocked(pairs, nodes)
+
+
+_CC_LOCK = threading.Lock()
+
+
+def _components_unlocked(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     sc = pairs.sparkSession.sparkContext
 
     def _persistent_ids() -> set:

@@ -303,13 +303,16 @@ def _fake_feature(text: str) -> np.ndarray:
     """The stubbed codec's perceptual feature: centered histogram of
     word-bigram md5 cells, fv[b] = MM_FDIM·count_b − n_bigrams (exact
     ints; centering makes independent docs near-orthogonal while
-    near-identical content keeps cosine ≈ 1). Tokenization and the
-    2-nibble cell match the house recipe (text.hash_cell) so the DuckDB
-    twin is expressible."""
+    near-identical content keeps cosine ≈ 1). Tokenization is the house
+    JVM twin (``text._py_words``: ASCII-space trim, RE2 ``\\s+`` split —
+    Python ``str.strip()``/unicode ``\\s`` would silently diverge from the
+    DuckDB oracle on leading tabs or unicode whitespace) and the 2-nibble
+    cell matches text.hash_cell so the DuckDB twin is expressible."""
     import hashlib
-    import re
 
-    words = re.split(r"\s+", text.strip())
+    from .text import _py_words
+
+    words = _py_words(text, lower=False)
     grams = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
     fv = np.zeros(MM_FDIM, dtype=np.int64)
     for g in grams:
@@ -353,18 +356,16 @@ def media_features(documents: DataFrame) -> DataFrame:
 
 @pandas_udf(ArrayType(LongType()))
 def _mm_band_buckets_pd(v: pd.Series) -> pd.Series:
-    """MM_BANDS bucket keys per feature vector in one exact matmul —
-    the media twin of similarity._band_buckets_pd."""
+    """MM_BANDS bucket keys per feature vector — the media instantiation
+    of the shared sign-LSH packing kernel (similarity.pack_band_bits)."""
+    from .similarity import pack_band_bits
+
     fm = (
         np.stack(v.to_numpy()).astype(np.float64, copy=False)
         if len(v)
         else np.empty((0, MM_FDIM))
     )
-    bits = (fm @ _MM_PLANES_NP.T) >= 0
-    out = np.zeros((len(fm), MM_BANDS), dtype=np.int64)
-    for b in range(MM_BANDS):
-        for j in range(MM_BITS_PER_BAND):
-            out[:, b] |= bits[:, b * MM_BITS_PER_BAND + j].astype(np.int64) << j
+    out = pack_band_bits(fm, _MM_PLANES_NP, MM_BANDS, MM_BITS_PER_BAND)
     return pd.Series(list(out))
 
 

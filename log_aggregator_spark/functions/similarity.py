@@ -141,11 +141,30 @@ def _quantize(col: Column) -> Column:
     )
 
 
-def _vecs(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, v=quantized vector, n2=exact squared norm ×QUANT²)."""
-    return embeddings.select(
+def _vecs(embeddings: DataFrame, drop_zero: bool = True) -> DataFrame:
+    """(vec_id, v=quantized vector, n2=exact squared norm ×QUANT²).
+
+    ``drop_zero`` (default): zero-norm vectors are excluded at this
+    boundary — cosine is undefined for them (0/0 → NaN, which every
+    engine orders differently: numpy drops/last, Spark and DuckDB sort
+    NaN greatest) and a zero vector has no sign direction for the LSH /
+    IVF projections (same rule as ``multimodal.media_feature_signature``).
+    Excluding them HERE keeps every downstream kernel (numpy block, JVM
+    fold, DuckDB twin) bit-identical instead of inheriting each engine's
+    NaN convention. ``norm_stats`` opts out — it is the QA query whose
+    job is to SEE the degenerate vectors."""
+    out = embeddings.select(
         "vec_id", _quantize(F.col("embedding")).alias("v")
     ).withColumn("n2", _dot(F.col("v"), F.col("v")))
+    if not drop_zero:
+        return out
+    # predicate ≡ the oracle's list_dot_product(v, v) > 0 (exact integer
+    # arithmetic: n2 = 0 ⟺ all components 0; -0.0 == 0.0 in both engines;
+    # a NaN component keeps the row in both). Stated as array_remove/size
+    # — codegen expressions — instead of n2 > 0, which would force the
+    # interpreted HOF fold on every row even in queries that prune n2
+    # (the signature/index builds, the one full-corpus pass to keep cheap).
+    return out.where(F.size(F.array_remove(F.col("v"), 0.0)) > 0)
 
 
 def _np_rows(series: pd.Series) -> np.ndarray:
@@ -170,19 +189,30 @@ def _check_exact(q: np.ndarray, other_abs_max: float) -> None:
 
 # ------------------------------------------------ vectorized Arrow kernels
 
+def pack_band_bits(
+    fm: np.ndarray, planes: np.ndarray, n_bands: int, bits_per_band: int
+) -> np.ndarray:
+    """(n, n_bands) int64 bucket keys from one sign-bit matmul: (n × dim)
+    @ (dim × n_bands·bits) → signs → bits packed per band. THE shared
+    band-packing kernel — the text-embedding LSH here and the media
+    feature LSH (multimodal) both call it, so a fix to the packing logic
+    lands in both."""
+    bits = (fm @ planes.T) >= 0                          # (n, total bits)
+    out = np.zeros((len(fm), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        for j in range(bits_per_band):
+            out[:, b] |= bits[:, b * bits_per_band + j].astype(np.int64) << j
+    return out
+
+
 @pandas_udf(ArrayType(LongType()))
 def _band_buckets_pd(v: pd.Series) -> pd.Series:
-    """All N_BANDS bucket keys per vector in one BLAS matmul:
-    (batch × DIM) @ (DIM × N_PLANES) → sign bits → BITS_PER_BAND bits
-    packed per band. Input is the already-quantized vector, so the matmul
-    is exact (module header) and the signs equal the JVM/DuckDB fold's."""
+    """All N_BANDS bucket keys per vector in one BLAS matmul. Input is the
+    already-quantized vector, so the matmul is exact (module header) and
+    the signs equal the JVM/DuckDB fold's."""
     q = _np_rows(v)
     _check_exact(q, _PLANES_ABS_MAX)
-    bits = (q @ _PLANES_NP.T) >= 0                       # (n, N_PLANES)
-    out = np.zeros((len(q), N_BANDS), dtype=np.int64)
-    for b in range(N_BANDS):
-        for j in range(BITS_PER_BAND):
-            out[:, b] |= bits[:, b * BITS_PER_BAND + j].astype(np.int64) << j
+    out = pack_band_bits(q, _PLANES_NP, N_BANDS, BITS_PER_BAND)
     return pd.Series(list(out))
 
 
@@ -238,17 +268,24 @@ def _corpus_matrix(
     q = np.rint(_np_rows(pdf["embedding"]) * QUANT)
     _check_exact(q, float(np.abs(q).max()) if q.size else 0.0)
     n2 = np.einsum("ij,ij->i", q, q)
-    return ids, q, n2
+    nz = n2 > 0  # cosine undefined for zero-norm vectors — the _vecs rule
+    return ids[nz], q[nz], n2[nz]
 
 
 def _sim_block(
     pdf: pd.DataFrame, ids: np.ndarray, qc: np.ndarray, n2c: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """(query_ids, sim matrix vs the whole corpus sample) for one Arrow
-    batch — the single BLAS matmul all brute queries share."""
+    batch — the single BLAS matmul all brute queries share. Zero-norm
+    query rows are dropped (the _vecs rule) and the 2^53 exactness guard
+    covers BOTH matmul operands — the corpus-side check alone would let an
+    oversized query vector silently break bit-equality."""
     qids = pdf["vec_id"].to_numpy(dtype=np.int64)
     qq = np.rint(_np_rows(pdf["embedding"]) * QUANT)
     n2q = np.einsum("ij,ij->i", qq, qq)
+    nz = n2q > 0
+    qids, qq, n2q = qids[nz], qq[nz], n2q[nz]
+    _check_exact(qq, float(np.abs(qc).max()) if qc.size else 0.0)
     dots = qq @ qc.T                                     # exact
     sim = dots / np.sqrt(np.outer(n2q, n2c))
     return qids, sim
@@ -276,7 +313,7 @@ def brute_topk(
 
     def gen(batches):
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(ids):  # empty corpus → empty result
                 continue
             qids, sim = _sim_block(pdf, ids, qc, n2c)
             # mask self-pairs (query may or may not be in the corpus)
@@ -321,7 +358,7 @@ def cosine_near_dup(
 
     def gen(batches):
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(ids):  # empty corpus → empty result
                 continue
             qids, sim = _sim_block(pdf, ids, qc, n2c)
             cond = (sim >= tau) & (qids[:, None] < ids[None, :])
@@ -652,10 +689,14 @@ def _ivf_cell_topk(key, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         nb_ids = mpdf["nb_id"].to_numpy(dtype=np.int64)
         mm = _np_rows(mpdf["vb"])
         n2m = mpdf["nb"].to_numpy(dtype=np.float64)
+        mm_abs = float(np.abs(mm).max()) if mm.size else 0.0
         for lo in range(0, len(qpdf), 1024):
             qc = qpdf.iloc[lo:lo + 1024]
             qids = qc["vec_id"].to_numpy(dtype=np.int64)
             qm = _np_rows(qc["va"])
+            # guard both matmul operands (queries may come from a
+            # different, larger-valued table than the indexed corpus)
+            _check_exact(qm, mm_abs)
             n2q = qc["na"].to_numpy(dtype=np.float64)
             sims = (qm @ mm.T) / np.sqrt(np.outer(n2q, n2m))
             sims[qids[:, None] == nb_ids[None, :]] = -np.inf  # self-mask
@@ -942,7 +983,9 @@ def norm_stats(embeddings: DataFrame) -> DataFrame:
     the array column) + a partial-agg groupBy on ≤ a few hundred bucket
     keys. (norm_x10, n_vecs, min_norm_mill, max_norm_mill).
     """
-    v = _vecs(embeddings)
+    # drop_zero=False: this is the one query whose JOB is to surface the
+    # zero/collapsed vectors every other similarity operator excludes
+    v = _vecs(embeddings, drop_zero=False)
     norm_mill = F.floor(F.sqrt(F.col("n2")) / 1000.0).cast("long")
     return (
         v.select(norm_mill.alias("norm_mill"))

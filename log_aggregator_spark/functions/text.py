@@ -42,8 +42,6 @@ _JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 
 STOPWORDS = ("the", "a", "of")
 
-STOPWORDS = ("the", "a", "of")
-
 # tiny per-language stopword profiles for the n-gram/stopword language-ID
 # heuristic; deterministic argmax with lexicographic tie-break, 'und' when no
 # profile matches at all.

@@ -51,14 +51,17 @@ def merge_upsert(
 
     The contract is one row per key per version with version >
     ``base_version`` — but the argmax is deterministic even when a caller
-    violates it: the winner is ordered by ``struct(version, op)``, so at
-    equal version a delete beats an upsert ('U' < 'D' lexically — MERGE's
-    "delete wins the tie" convention) and an update arriving at
+    violates it: the winner is ordered by ``struct(version, rank)`` where
+    rank is delete=2 > base-row=1 > batch-upsert=0 (an explicit rank bit:
+    'D' < 'U' lexically, so ordering on the raw op string would invert the
+    convention). At equal version a delete beats everything — MERGE's
+    "delete wins the tie" convention, including a delete arriving at
+    exactly ``base_version`` — and a batch upsert at
     version ≤ ``base_version`` loses to the base row deterministically
-    instead of varying per run. Two upserts sharing (key, version) remain
-    a contract violation (payload pick would still tie); everything the
-    operator itself introduces (the base row at ``base_version``) resolves
-    deterministically. Output: keys + payload + version.
+    instead of varying per run. Two batch upserts sharing (key, version)
+    remain a contract violation (payload pick would still tie); everything
+    the operator itself introduces (the base row at ``base_version``)
+    resolves deterministically. Output: keys + payload + version.
     """
     keys = list(keys)
     payload = [c for c in base.columns if c not in keys]
@@ -67,15 +70,22 @@ def merge_upsert(
         *payload,
         F.lit(base_version).cast("long").alias(version_col),
         F.lit(UPSERT_OP).alias(op_col),
+        F.lit(1).alias("_prov"),
     )
     u = updates.select(
         *keys,
         *payload,
         F.col(version_col).cast("long").alias(version_col),
         F.col(op_col),
+        F.lit(0).alias("_prov"),
     )
     st = F.struct(*[F.col(c) for c in payload], F.col(op_col))
-    order = F.struct(F.col(version_col), F.col(op_col))
+    order = F.struct(
+        F.col(version_col),
+        F.when(F.col(op_col) == DELETE_OP, F.lit(2))
+        .otherwise(F.col("_prov"))
+        .alias("_rank"),
+    )
     winner = (
         b.unionByName(u)
         .groupBy(*keys)

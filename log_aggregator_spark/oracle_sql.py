@@ -768,8 +768,16 @@ _QVEC = (
     f"x -> round_even(x * {_sim.QUANT}, 0))"
 )
 
+# the quantized-vector CTE with the _vecs zero-norm exclusion (cosine is
+# undefined for zero vectors; similarity._vecs drops them at the same
+# boundary — sim_norm_stats is the one query that deliberately keeps them)
+_D_NZ = (
+    f"d AS (SELECT vec_id, v FROM (SELECT vec_id, {_QVEC} AS v FROM embeddings)\n"
+    "       WHERE list_dot_product(v, v) > 0)"
+)
+
 _SIM_PRELUDE = f"""
-WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+WITH {_D_NZ},
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d),
 p AS (
   SELECT a.vec_id, b.vec_id AS nb_id,
@@ -837,13 +845,13 @@ SELECT vec_id AS vec_a, nb_id AS vec_b,
        CAST(floor(sim * 1000000) AS BIGINT) AS sim_x1m
 FROM p WHERE vec_id < nb_id AND sim >= {_sim.NEAR_DUP_TAU}
 """,
-        "sim_lsh_signature": f"WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings)\n"
+        "sim_lsh_signature": f"WITH {_D_NZ}\n"
         + "\nUNION ALL ".join(
             f"SELECT vec_id, CAST({b} AS BIGINT) AS band, {_bucket_expr(b)} AS bucket FROM d"
             for b in range(_sim.N_BANDS)
         ),
         "sim_lsh_pairs": f"""
-WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+WITH {_D_NZ},
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
 {banded}
 SELECT vec_a, vec_b, n_bands,
@@ -859,7 +867,7 @@ FROM (
 ) WHERE sim >= {_sim.LSH_TAU}
 """,
         "sim_lsh_topk": f"""
-WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+WITH {_D_NZ},
 n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM d)
 {banded}
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id
@@ -932,7 +940,7 @@ def _ivf_sql() -> dict[str, str]:
         for c in range(_sim.K_CELLS)
     )
     base = f"""
-WITH d AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+WITH {_D_NZ},
 scored AS (
   SELECT vec_id, v, list_sort([{score_structs}], 'DESC') AS sc FROM d
 ),

@@ -117,6 +117,59 @@ def test_quadratic_guard_trips(spark):
     assert fsim.brute_topk(emb, max_rows=10, allow_quadratic=True).count() > 0
 
 
+def test_zero_norm_vectors_excluded_everywhere_but_norm_stats(spark):
+    """Cosine is undefined for a zero-norm vector (0/0 = NaN, ordered
+    differently by numpy / Spark / DuckDB), so the _vecs boundary excludes
+    them from every similarity operator — verified against the DuckDB
+    twin on a corpus CONTAINING a zero vector — while norm_stats (the QA
+    query) still reports them."""
+    import numpy as np
+
+    dim = fsim.DIM
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in (1, 2, 4)]
+    rows.append((3, [0.0] * dim))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+
+    topk = fsim.brute_topk(emb, allow_quadratic=True).toPandas()
+    near = fsim.cosine_near_dup(emb, tau=-2.0, allow_quadratic=True).toPandas()
+    sig = fsim.lsh_signature(emb).toPandas()
+    asg = fsim.ivf_assign(emb).toPandas()
+    touched = (
+        set(topk["vec_id"]) | set(topk["neighbor_id"]) | set(near["vec_a"])
+        | set(near["vec_b"]) | set(sig["vec_id"]) | set(asg["vec_id"])
+    )
+    assert 3 not in touched and touched == {1, 2, 4}
+
+    blk = fsim.ivf_topk(emb, impl="block").orderBy("vec_id", "rank").toPandas()
+    jn = fsim.ivf_topk(emb, impl="join").orderBy("vec_id", "rank").toPandas()
+    pd.testing.assert_frame_equal(blk, jn)
+    assert 3 not in set(blk["vec_id"]) | set(blk["neighbor_id"])
+
+    # the DuckDB twin agrees row-for-row ON THIS corpus (the gate fixture
+    # has no zero vectors; this pins the edge the fixture can't reach)
+    from log_aggregator_spark.oracle_sql import SIMILARITY_SQL
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = {
+        tuple(r)
+        for r in con.sql(SIMILARITY_SQL["sim_brute_topk"]).fetchall()
+    }
+    got = {
+        (r["vec_id"], r["rank"], r["neighbor_id"], r["sim_x1m"])
+        for r in fsim.brute_topk(emb, allow_quadratic=True).collect()
+    }
+    assert got == want
+
+    # norm_stats is the ONE query that must still see the zero vector
+    ns = fsim.norm_stats(emb).toPandas()
+    assert int(ns["n_vecs"].sum()) == 4
+    zero_bucket = ns[ns["norm_x10"] == 0]
+    assert len(zero_bucket) == 1 and int(zero_bucket["min_norm_mill"].iloc[0]) == 0
+
+
 def test_survivors_giant_cluster_no_rank_window(spark):
     """Survivor pick on the inherently-skewed key: one cluster holding 90%
     of the corpus must flow through a map-combinable aggregate, not a

@@ -72,6 +72,32 @@ def test_delete_as_newest_wins_over_update(spark):
     assert got == {}
 
 
+def test_delete_wins_equal_version_tie(spark):
+    # contract violation: a 'D' and a 'U' share (key, version). The
+    # documented convention is delete-wins-the-tie; the order struct ranks
+    # deletes above upserts explicitly because raw op strings sort the
+    # other way ('D' < 'U').
+    base = _base(spark, [(1, "a", 10)])
+    batch = _batch(
+        spark,
+        [(1, "a2", 11, 1, "U"), (1, None, 0, 1, "D")],
+    )
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {}
+
+
+def test_delete_at_base_version_wins_tie(spark):
+    # delete arriving at exactly base_version beats the implicit base row
+    # (delete-wins-tie); an upsert at base_version loses to the base.
+    base = _base(spark, [(1, "a", 10), (2, "b", 20)])
+    batch = _batch(
+        spark,
+        [(1, None, 0, 0, "D"), (2, "b2", 21, 0, "U")],
+    )
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == {2: ("b", 20, 0)}
+
+
 def test_idempotent_replay(spark):
     # replaying the same batch over the merged result changes nothing —
     # the at-least-once delivery property the reference's overwrite-on-

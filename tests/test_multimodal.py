@@ -35,6 +35,44 @@ def test_media_dedup_magic_header_is_part_of_the_content(spark):
     assert len(got) == 1 and got[0]["n_copies"] == 2
 
 
+def test_fake_feature_matches_duckdb_tokenization_on_whitespace_edges():
+    """The stubbed featurizer must tokenize exactly like its DuckDB twin
+    (mm_near_dup oracle: trim = ASCII spaces only, RE2 \\s+ split keeping
+    boundary empty fields). Python str.strip()/unicode \\s would silently
+    diverge on leading tabs, trailing newlines and NBSP."""
+    import duckdb
+    import numpy as np
+
+    from log_aggregator_spark.oracle_sql import _hash_cell_sql
+
+    cases = [
+        "\tfoo bar baz",          # leading tab -> empty first word
+        "foo bar baz\n",          # trailing newline -> empty last word
+        "foo bar baz qux",   # NBSP is NOT \s in RE2/Java
+        "  foo   bar  ",          # ASCII spaces trim + collapse
+        "foo bar",
+        "",
+    ]
+    con = duckdb.connect()
+    for text in cases:
+        want = np.zeros(fmm.MM_FDIM, dtype=np.int64)
+        rows = con.execute(
+            f"""
+            WITH ws AS (SELECT regexp_split_to_array(trim(?), '\\s+') AS ws),
+            bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS gram
+                   FROM ws)
+            SELECT {_hash_cell_sql("gram", 2)} AS nib FROM bg
+            """,
+            [text],
+        ).fetchall()
+        for (nib,) in rows:
+            want[int(nib)] += 1
+        want = want * fmm.MM_FDIM - len(rows)
+        got = fmm._fake_feature(text)
+        assert np.array_equal(got, want), text
+
+
 def test_media_near_dup_finds_edited_copy_not_unrelated(spark):
     """An object whose decoded content is a light edit of another must
     pair with it at high centered-cosine; unrelated objects must not
