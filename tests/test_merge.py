@@ -98,6 +98,45 @@ def test_delete_at_base_version_wins_tie(spark):
     assert got == {2: ("b", 20, 0)}
 
 
+def test_randomized_collisions_match_python_oracle(spark):
+    """One seeded adversarial batch: many keys × versions × ops with
+    deliberate (key, version) collisions, checked against a line-by-line
+    Python transcription of the documented order (version, then rank
+    delete=2 > base=1 > batch-upsert=0). Payloads are a function of
+    (key, version, op) so even contract-violating ties carry identical
+    payloads and the expected output is well-defined."""
+    import random
+
+    rng = random.Random(7)
+    base_rows = [(k, f"b{k}", k * 10) for k in range(12)]
+    batch_rows = []
+    for _ in range(120):
+        k = rng.randrange(16)            # keys 12..15 are pure inserts
+        ver = rng.randrange(3)           # 0 collides with base_version
+        op = rng.choice(["U", "U", "D"])
+        batch_rows.append((k, f"{k}.{ver}.{op}", k * 10 + ver, ver, op))
+
+    # python oracle: argmax per key over (version, rank)
+    cand: dict[int, list] = {}
+    for k, val, n in base_rows:
+        cand.setdefault(k, []).append((0, 1, val, n, "U"))
+    for k, val, n, ver, op in batch_rows:
+        cand.setdefault(k, []).append((ver, 2 if op == "D" else 0, val, n, op))
+    want = {}
+    for k, rows in cand.items():
+        ver, rank, val, n, op = max(rows, key=lambda r: (r[0], r[1]))
+        if op != "D":
+            want[k] = (val, n, max(r[0] for r in rows))
+
+    base = _base(spark, base_rows)
+    batch = _batch(spark, batch_rows)
+    got = _rows(merge_upsert(base, batch, keys=["k"]))
+    assert got == want
+    # determinism: a reshuffled batch must produce the identical snapshot
+    got2 = _rows(merge_upsert(base, _batch(spark, batch_rows[::-1]), keys=["k"]))
+    assert got2 == got
+
+
 def test_idempotent_replay(spark):
     # replaying the same batch over the merged result changes nothing —
     # the at-least-once delivery property the reference's overwrite-on-
