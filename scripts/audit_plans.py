@@ -110,6 +110,21 @@ def main() -> None:
     sections.append(("sim_lsh_pairs", lplan,
                      ["equi-join on (band, bucket): the scale path — no cross join"]))
 
+    # --- LSH signature: Arrow matmul kernel; zero-norm filter in codegen --
+    sgq = QUERIES["sim_lsh_signature"](spark, SF)
+    sgplan = fmt_plan(sgq)
+    check("signature arrow kernel", "ArrowEvalPython" in sgplan,
+          "the 96-plane projection must be the vectorized Arrow matmul")
+    check("signature no interpreted fold", "aggregate(" not in sgplan,
+          "the zero-norm exclusion must be the codegen array_remove "
+          "predicate — filtering on n2 > 0 would force the interpreted "
+          "HOF dot-product fold into the index build, the one full-corpus "
+          "pass to keep cheap")
+    sections.append(("sim_lsh_signature", sgplan,
+                     ["ArrowEvalPython matmul kernel; zero-norm exclusion "
+                      "via codegen size(array_remove) — the pruned n2 fold "
+                      "never evaluates"]))
+
     # --- top-k shapes: per-partition TakeOrdered, never a global window ---
     for qname in ("ev_topk_users", "text_vocab"):
         kq = QUERIES[qname](spark, SF)
