@@ -427,7 +427,17 @@ def all_near_dup_pairs(
     return out.distinct()
 
 
-def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+# Residual-edge count (both directions) under which CC finishes driver-side.
+# 2^19 edges ≈ 8 MB collected — broadcast-join-sized, NOT corpus-sized: the
+# cap bounds driver memory exactly like spark.sql.autoBroadcastJoinThreshold
+# bounds a broadcast build side. Distributed rounds run until contraction
+# brings the residual graph under the cap (guaranteed: it reaches 0).
+ENDGAME_EDGE_CAP = 1 << 19
+
+
+def components(
+    pairs: DataFrame, nodes: DataFrame, endgame_cap: int = ENDGAME_EDGE_CAP
+) -> DataFrame:
     """Connected components over the duplicate-pair graph → one canonical
     survivor per cluster. pairs: (doc_a, doc_b); nodes: (doc_id).
     Returns (doc_id, cluster_id, is_canonical) for EVERY node — singletons
@@ -459,15 +469,78 @@ def components(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     Callers that persist unrelated RDDs from their own threads while a CC
     job runs are outside the engine's contract (every production path —
     entry queries, run_job, bench — drives Spark from one thread).
+
+    Small-graph endgame: contraction shrinks the residual edge set
+    geometrically, so after a few distributed rounds the remaining graph
+    fits in driver memory. Once its (bidirectional) edge count is ≤
+    ``endgame_cap``, the loop collects the residual edges, union-finds
+    them locally, and finishes with ONE broadcast remap join over the
+    corpus-sized label table — the same bounded-driver-memory argument as
+    a broadcast hash join (which also collects one side to the driver),
+    replacing 2–3 trailing distributed rounds whose per-round cost is pure
+    scheduling floor. ``endgame_cap=0`` forces the pure iterative form
+    (used by the CC scaling stress bench to measure the distributed rounds
+    themselves). Exactness: connectivity lives in the union of residual
+    edges and label-pointer edges (contraction moves edges into pointers).
+    The union-find remap collapses the residual-EDGE part; the remaining
+    pointer graph is a decreasing functional graph (label ≤ doc_id, one
+    outgoing pointer per node), so each weakly-connected component has
+    exactly one fixed point — the component min, whose label is always
+    itself — and the follow-up jump-only rounds (pointer doubling, one
+    self-join each, run until no label changes) converge every member to
+    it. Equality with the pure iterative form is pytest-fuzzed over random
+    graphs at caps that fire the endgame at round 0 and mid-loop.
     """
     with _CC_LOCK:
-        return _components_unlocked(pairs, nodes)
+        return _components_unlocked(pairs, nodes, endgame_cap)
 
 
 _CC_LOCK = threading.Lock()
 
 
-def _components_unlocked(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+def _endgame_finish(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Union-find the (cap-bounded) residual edge list on the driver, then
+    remap the corpus label table through ONE broadcast join. Roots are the
+    min label of each residual component, so labels stay canonical
+    (cluster_id = min doc_id) — see the exactness argument in
+    ``components``."""
+    pdf = edges.where(F.col("src") < F.col("dst")).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # attach larger root under smaller → min-root invariant
+    remap = [(x, find(x)) for x in parent]
+    remap = [(x, r) for x, r in remap if x != r]
+    if not remap:
+        return labels
+    rdf = labels.sparkSession.createDataFrame(
+        pd.DataFrame(remap, columns=["label", "_root"]),
+        schema="label long, _root long",
+    )
+    return (
+        labels.join(F.broadcast(rdf), "label", "left")
+        .select(
+            "doc_id", F.coalesce("_root", F.col("label")).alias("label")
+        )
+    )
+
+
+def _components_unlocked(
+    pairs: DataFrame, nodes: DataFrame, endgame_cap: int
+) -> DataFrame:
     sc = pairs.sparkSession.sparkContext
 
     def _persistent_ids() -> set:
@@ -495,6 +568,9 @@ def _components_unlocked(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     edge_ids = _persistent_ids() - before
+    # count on the just-materialized checkpoint — reads cached blocks, no
+    # recompute; drives the endgame trigger each round.
+    n_edges = edges.count()
     before = _persistent_ids()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     label_ids = _persistent_ids() - before
@@ -503,6 +579,56 @@ def _components_unlocked(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     # 64), not a tuning knob.
     max_iters = 64
     for _ in range(max_iters):
+        if n_edges <= endgame_cap or n_edges == 0:
+            # ---- endgame: collapse residual EDGES driver-side, then
+            # collapse residual pointer CHAINS with jump-only rounds.
+            remapped = _endgame_finish(edges, labels)
+            if remapped is not labels:
+                before = _persistent_ids()
+                remapped = remapped.localCheckpoint()
+                new_label_ids = _persistent_ids() - before
+                _unpersist(label_ids)
+                label_ids = new_label_ids
+                labels = remapped
+            # Zero residual edges does NOT mean converged: docs whose label
+            # points at a node whose OWN label moved still hold stale chain
+            # links (pointer edges carry connectivity the contraction moved
+            # out of the edge set). Jump-only rounds (one self-join each,
+            # no nbr-min, no contraction) collapse them: the label graph is
+            # a decreasing functional graph, so each weakly-connected
+            # component has exactly ONE fixed point — the component min —
+            # and pointer doubling reaches it in ≤ log2(depth) rounds.
+            for _ in range(max_iters):
+                jumped = (
+                    labels.alias("a")
+                    .join(
+                        labels.select(
+                            F.col("doc_id").alias("label"),
+                            F.col("label").alias("ll"),
+                        ).alias("b"),
+                        "label",
+                    )
+                    .select("doc_id", F.least("label", "ll").alias("label"))
+                )
+                before = _persistent_ids()
+                jumped = jumped.localCheckpoint()
+                new_label_ids = _persistent_ids() - before
+                changed = (
+                    jumped.alias("n")
+                    .join(labels.alias("o"), "doc_id")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                _unpersist(label_ids)
+                label_ids = new_label_ids
+                labels = jumped
+                if changed == 0:
+                    break
+            else:  # pragma: no cover - chain depth halves per round
+                raise RuntimeError(
+                    "components endgame did not converge within 64 jumps"
+                )
+            break
         nbr_min = (
             edges.join(
                 labels.select(
@@ -565,6 +691,7 @@ def _components_unlocked(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
             .localCheckpoint()
         )
         new_edge_ids = _persistent_ids() - before
+        n_edges = edges.count()
         # the contraction materialized off the old edges — free them.
         _unpersist(edge_ids)
         edge_ids = new_edge_ids

@@ -695,3 +695,43 @@ def test_merge_clusters_remap_is_broadcast(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+def test_components_endgame_equals_iterative(spark):
+    """The small-graph endgame (collect residual edges + driver union-find
+    + one broadcast remap) must be label-identical to the pure iterative
+    form (endgame_cap=0) — fuzzed over random graphs covering chains,
+    cliques, forests and singletons, plus cap values that fire the endgame
+    at round 0 and mid-loop."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = _df_pairs(spark, edges)
+        nodes = _df_nodes(spark, range(1, n + 1))
+        pure = sorted(
+            map(tuple, fdedup.components(pairs, nodes, endgame_cap=0).collect())
+        )
+        for cap in (1, 10**6):  # mid-loop fire vs round-0 fire
+            got = sorted(
+                map(tuple, fdedup.components(pairs, nodes, endgame_cap=cap).collect())
+            )
+            assert got == pure, f"trial={trial} cap={cap}"
+
+
+def test_components_endgame_long_chain(spark):
+    """A 1→2→…→40 chain — worst case for label propagation — through the
+    round-0 endgame: one union-find, one broadcast remap, exact labels."""
+    n = 40
+    pairs = _df_pairs(spark, [(i, i + 1) for i in range(1, n)])
+    nodes = _df_nodes(spark, range(1, n + 1))
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in fdedup.components(pairs, nodes).collect()
+    }
+    assert got == {i: (1, 1 if i == 1 else 0) for i in range(1, n + 1)}
