@@ -479,8 +479,9 @@ def components(
     a broadcast hash join (which also collects one side to the driver),
     replacing 2–3 trailing distributed rounds whose per-round cost is pure
     scheduling floor. ``endgame_cap=0`` forces the pure iterative form
-    (used by the CC scaling stress bench to measure the distributed rounds
-    themselves). Exactness: connectivity lives in the union of residual
+    (available to isolate the distributed rounds; the committed CC stress
+    record in BENCH/BASELINE.md was measured in exactly that form,
+    pre-endgame). Exactness: connectivity lives in the union of residual
     edges and label-pointer edges (contraction moves edges into pointers).
     The union-find remap collapses the residual-EDGE part; the remaining
     pointer graph is a decreasing functional graph (label ≤ doc_id, one
@@ -498,13 +499,33 @@ def components(
 _CC_LOCK = threading.Lock()
 
 
-def _endgame_finish(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _endgame_finish(
+    edges: DataFrame, labels: DataFrame, raw_edges: bool
+) -> DataFrame:
     """Union-find the (cap-bounded) residual edge list on the driver, then
     remap the corpus label table through ONE broadcast join. Roots are the
     min label of each residual component, so labels stay canonical
     (cluster_id = min doc_id) — see the exactness argument in
     ``components``."""
     pdf = edges.where(F.col("src") < F.col("dst")).toPandas()
+    if raw_edges and len(pdf):
+        # Round-0 edges never passed a contraction, whose inner joins drop
+        # pair endpoints absent from ``nodes``; scrub them here so the
+        # endgame honors the same contract as the iterative form (a stray
+        # endpoint is inert — it must never be elected as a label). One
+        # broadcast membership probe of the cap-bounded endpoint list
+        # against the label table.
+        ids = pd.unique(pdf[["src", "dst"]].to_numpy().ravel())
+        ids_df = labels.sparkSession.createDataFrame(
+            pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+        )
+        valid = {
+            r[0]
+            for r in labels.join(F.broadcast(ids_df), "doc_id", "left_semi")
+            .select("doc_id")
+            .collect()
+        }
+        pdf = pdf[pdf["src"].isin(valid) & pdf["dst"].isin(valid)]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -574,15 +595,52 @@ def _components_unlocked(
     before = _persistent_ids()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     label_ids = _persistent_ids() - before
+
+    def _jump(frame: DataFrame) -> DataFrame:
+        # pointer jump: label ← least(label, label(label)), looked up in the
+        # CURRENT label generation. Every (contracted) label IS a node id,
+        # so the lookup join always hits.
+        return (
+            frame.alias("a")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("ll")
+                ).alias("b"),
+                "label",
+            )
+            .select("doc_id", F.least("label", "ll").alias("label"))
+        )
+
+    def _commit_round(new_labels: DataFrame) -> int:
+        # Checkpoint the next label generation, count changed labels against
+        # the current one (its LAST reader), then free the current
+        # generation's blocks. Shared by the full rounds and the endgame's
+        # jump-only rounds so the checkpoint/unpersist ordering cannot
+        # diverge between the two paths.
+        nonlocal labels, label_ids
+        before = _persistent_ids()
+        new = new_labels.localCheckpoint()
+        new_ids = _persistent_ids() - before
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        _unpersist(label_ids)
+        labels, label_ids = new, new_ids
+        return changed
+
     # pointer jumping halves label-chain depth per round → ≤ ~log2(n) rounds;
     # the cap is a runaway backstop (a pair graph over 2^64 nodes would need
     # 64), not a tuning knob.
     max_iters = 64
+    raw_edges = True  # edges are pre-contraction until the first relabel
     for _ in range(max_iters):
         if n_edges <= endgame_cap or n_edges == 0:
             # ---- endgame: collapse residual EDGES driver-side, then
             # collapse residual pointer CHAINS with jump-only rounds.
-            remapped = _endgame_finish(edges, labels)
+            remapped = _endgame_finish(edges, labels, raw_edges)
             if remapped is not labels:
                 before = _persistent_ids()
                 remapped = remapped.localCheckpoint()
@@ -599,30 +657,7 @@ def _components_unlocked(
             # component has exactly ONE fixed point — the component min —
             # and pointer doubling reaches it in ≤ log2(depth) rounds.
             for _ in range(max_iters):
-                jumped = (
-                    labels.alias("a")
-                    .join(
-                        labels.select(
-                            F.col("doc_id").alias("label"),
-                            F.col("label").alias("ll"),
-                        ).alias("b"),
-                        "label",
-                    )
-                    .select("doc_id", F.least("label", "ll").alias("label"))
-                )
-                before = _persistent_ids()
-                jumped = jumped.localCheckpoint()
-                new_label_ids = _persistent_ids() - before
-                changed = (
-                    jumped.alias("n")
-                    .join(labels.alias("o"), "doc_id")
-                    .where(F.col("n.label") != F.col("o.label"))
-                    .count()
-                )
-                _unpersist(label_ids)
-                label_ids = new_label_ids
-                labels = jumped
-                if changed == 0:
+                if _commit_round(_jump(labels)) == 0:
                     break
             else:  # pragma: no cover - chain depth halves per round
                 raise RuntimeError(
@@ -647,27 +682,7 @@ def _components_unlocked(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
         )
-        # pointer jump: label ← label(label). Every label IS a node id, so
-        # the lookup join always hits.
-        jumped = prop.alias("a").join(
-            labels.select(
-                F.col("doc_id").alias("label"), F.col("label").alias("ll")
-            ).alias("b"),
-            "label",
-        ).select("doc_id", F.least("label", "ll").alias("label"))
-        before = _persistent_ids()
-        jumped = jumped.localCheckpoint()
-        new_label_ids = _persistent_ids() - before
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # `changed` was old-labels' last reader — this generation is dead.
-        _unpersist(label_ids)
-        label_ids = new_label_ids
-        labels = jumped
+        changed = _commit_round(_jump(prop))
         if changed == 0:
             break
         # graph contraction: relabel both endpoints by their current
@@ -692,6 +707,7 @@ def _components_unlocked(
         )
         new_edge_ids = _persistent_ids() - before
         n_edges = edges.count()
+        raw_edges = False  # contraction's inner joins scrubbed stray endpoints
         # the contraction materialized off the old edges — free them.
         _unpersist(edge_ids)
         edge_ids = new_edge_ids

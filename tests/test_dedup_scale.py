@@ -717,7 +717,12 @@ def test_components_endgame_equals_iterative(spark):
         pure = sorted(
             map(tuple, fdedup.components(pairs, nodes, endgame_cap=0).collect())
         )
-        for cap in (1, 10**6):  # mid-loop fire vs round-0 fire
+        # caps 4/16/64 fire MID-LOOP (after ≥1 contraction, labels no longer
+        # identity — the union-find runs over a non-trivially contracted
+        # residual); 10**6 fires at round 0. Edge counts are bidirectional
+        # and thus always even, so tiny odd caps degenerate to the n_edges==0
+        # case — the mid-loop arms must be ≥4 to actually exercise the remap.
+        for cap in (4, 16, 64, 10**6):
             got = sorted(
                 map(tuple, fdedup.components(pairs, nodes, endgame_cap=cap).collect())
             )
@@ -735,3 +740,15 @@ def test_components_endgame_long_chain(spark):
         for r in fdedup.components(pairs, nodes).collect()
     }
     assert got == {i: (1, 1 if i == 1 else 0) for i in range(1, n + 1)}
+
+def test_components_stray_pair_endpoints_are_inert(spark):
+    """A pair endpoint absent from `nodes` must be ignored, never elected
+    as a cluster label — on BOTH the endgame path (which union-finds raw
+    round-0 edges and must scrub strays first) and the iterative path
+    (whose inner joins drop them structurally)."""
+    pairs = _df_pairs(spark, [(1, 2), (2, 3)])  # node 1 does not exist
+    nodes = _df_nodes(spark, [2, 3])
+    want = [(2, 2, 1), (3, 2, 0)]
+    for cap in (0, 10**6):
+        got = sorted(map(tuple, fdedup.components(pairs, nodes, endgame_cap=cap).collect()))
+        assert got == want, f"cap={cap}: {got}"
