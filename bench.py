@@ -129,7 +129,9 @@ def materialize_dedup_synth(spark, n_docs: int, out_dir: str, files: int = 256) 
     return path
 
 
-def run_dedup_job(spark, docs_path: str) -> dict:
+def run_dedup_job(
+    spark, docs_path: str, cc_endgame_cap: int | None = None
+) -> dict:
     """One measured dedup-family pass over the skewed corpus, in the
     deployment shape from README's operational map — every full-corpus
     intermediate computed ONCE:
@@ -148,6 +150,11 @@ def run_dedup_job(spark, docs_path: str) -> dict:
     adversarial workload, recorded once as a CC stress test in
     BENCH/BASELINE.md, not the shape a deployment runs daily (see
     ``dedup.duplicate_clusters`` docstring).
+
+    ``cc_endgame_cap``: forwarded to ``components`` (``--cc-endgame-cap``
+    on the CLI); pass 0 to force the pure iterative CC — the form the
+    committed stress record was measured in — instead of the production
+    small-graph endgame. None = library default.
     """
     from pyspark.sql import functions as F
 
@@ -160,8 +167,9 @@ def run_dedup_job(spark, docs_path: str) -> dict:
     ).localCheckpoint()
     n_pairs = pairs.count()
     t1 = time.perf_counter()
+    cap = fdedup.ENDGAME_EDGE_CAP if cc_endgame_cap is None else cc_endgame_cap
     row = (
-        fdedup.components(pairs, docs.select("doc_id"))
+        fdedup.components(pairs, docs.select("doc_id"), endgame_cap=cap)
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
@@ -567,9 +575,10 @@ def main_dedup(args) -> None:
                 "spark.local.dir": shm_or(args.workdir, f"dedup_{cores}")},
         )
     path = materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
-    run_dedup_job(spark, path)  # warm-up: JIT/codegen at real batch sizes
+    cap = args.cc_endgame_cap
+    run_dedup_job(spark, path, cap)  # warm-up: JIT/codegen at real batch sizes
     runs = sorted(
-        (run_dedup_job(spark, path) for _ in range(args.dedup_runs)),
+        (run_dedup_job(spark, path, cap) for _ in range(args.dedup_runs)),
         key=lambda r: r["sec"],
     )
     best = dict(runs[0])
@@ -660,6 +669,8 @@ def _run_pinned_dedup(cores: int, args, lc_executors: int = 0) -> dict:
         "--workdir", args.workdir,
         "--json-out", json_out,
     ]
+    if args.cc_endgame_cap is not None:
+        cmd += ["--cc-endgame-cap", str(args.cc_endgame_cap)]
     if lc_executors:
         cmd += ["--lc-executors", str(lc_executors),
                 "--lc-mem-mb", str(args.lc_mem_mb)]
@@ -806,6 +817,9 @@ if __name__ == "__main__":
     p.add_argument("--dedup-run", action="store_true",
                    help="(internal) single-level dedup measurement")
     p.add_argument("--dedup-docs", type=int, default=1_000_000)
+    p.add_argument("--cc-endgame-cap", type=int, default=None,
+                   help="forwarded to components(endgame_cap=...); 0 forces "
+                        "the pure iterative CC (the stress-record form)")
     p.add_argument("--dedup-runs", type=int, default=2,
                    help="measured passes per level (min is reported)")
     args = p.parse_args()
