@@ -130,7 +130,10 @@ def materialize_dedup_synth(spark, n_docs: int, out_dir: str, files: int = 256) 
 
 
 def run_dedup_job(
-    spark, docs_path: str, cc_endgame_cap: int | None = None
+    spark,
+    docs_path: str,
+    cc_endgame_cap: int | None = None,
+    edge_families: tuple[str, ...] = ("exact", "minhash"),
 ) -> dict:
     """One measured dedup-family pass over the skewed corpus, in the
     deployment shape from README's operational map — every full-corpus
@@ -155,6 +158,12 @@ def run_dedup_job(
     on the CLI); pass 0 to force the pure iterative CC — the form the
     committed stress record was measured in — instead of the production
     small-graph endgame. None = library default.
+
+    ``edge_families``: which pair generators contribute edges
+    (``--dedup-edge-families`` on the CLI). The committed stress record =
+    ``exact,minhash,simhash`` + ``--cc-endgame-cap 0`` (the saturated
+    simhash family collapses the corpus to one giant component, making CC
+    itself the measured workload).
     """
     from pyspark.sql import functions as F
 
@@ -163,7 +172,7 @@ def run_dedup_job(
     docs = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
     pairs = fdedup.all_near_dup_pairs(
-        docs, edge_families=("exact", "minhash")
+        docs, edge_families=edge_families
     ).localCheckpoint()
     n_pairs = pairs.count()
     t1 = time.perf_counter()
@@ -576,9 +585,10 @@ def main_dedup(args) -> None:
         )
     path = materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
     cap = args.cc_endgame_cap
-    run_dedup_job(spark, path, cap)  # warm-up: JIT/codegen at real batch sizes
+    fams = tuple(args.dedup_edge_families.split(","))
+    run_dedup_job(spark, path, cap, fams)  # warm-up: JIT/codegen at real batch sizes
     runs = sorted(
-        (run_dedup_job(spark, path, cap) for _ in range(args.dedup_runs)),
+        (run_dedup_job(spark, path, cap, fams) for _ in range(args.dedup_runs)),
         key=lambda r: r["sec"],
     )
     best = dict(runs[0])
@@ -591,6 +601,14 @@ def main_dedup(args) -> None:
             json.dump(best, f, indent=1)
     print(json.dumps(best))
     spark.stop()
+
+
+def _fams_tag(args) -> str:
+    """Filename tag for non-default edge families so a stress-shape run
+    never clobbers the committed daily-shape record."""
+    if args.dedup_edge_families == "exact,minhash":
+        return ""
+    return "_" + args.dedup_edge_families.replace(",", "-")
 
 
 def main_scaling_dedup(args) -> None:
@@ -620,13 +638,13 @@ def main_scaling_dedup(args) -> None:
         lo = results["exec_1"] = _run_pinned_dedup(0, args, lc_executors=1)
         hi = results["exec_4"] = _run_pinned_dedup(0, args, lc_executors=4)
         n_label, n4_label = "local-cluster[1,4]", "local-cluster[4,4]"
-        out_name = f"DEDUP_SCALING_{args.dedup_docs}_exec.json"
+        out_name = f"DEDUP_SCALING_{args.dedup_docs}_exec{_fams_tag(args)}.json"
     else:
         for cores in (args.n, args.n * 4):
             results[cores] = _run_pinned_dedup(cores, args)
         lo, hi = results[args.n], results[args.n * 4]
         n_label, n4_label = f"local[{args.n}]", f"local[{args.n * 4}]"
-        out_name = f"DEDUP_SCALING_{args.dedup_docs}.json"
+        out_name = f"DEDUP_SCALING_{args.dedup_docs}{_fams_tag(args)}.json"
     # correctness control: both levels must compute the identical answer
     for k in ("n_pairs", "n_clusters", "checksum"):
         assert lo[k] == hi[k], f"{k} differs across levels: {lo[k]} != {hi[k]}"
@@ -671,6 +689,8 @@ def _run_pinned_dedup(cores: int, args, lc_executors: int = 0) -> dict:
     ]
     if args.cc_endgame_cap is not None:
         cmd += ["--cc-endgame-cap", str(args.cc_endgame_cap)]
+    if args.dedup_edge_families != "exact,minhash":
+        cmd += ["--dedup-edge-families", args.dedup_edge_families]
     if lc_executors:
         cmd += ["--lc-executors", str(lc_executors),
                 "--lc-mem-mb", str(args.lc_mem_mb)]
@@ -820,6 +840,10 @@ if __name__ == "__main__":
     p.add_argument("--cc-endgame-cap", type=int, default=None,
                    help="forwarded to components(endgame_cap=...); 0 forces "
                         "the pure iterative CC (the stress-record form)")
+    p.add_argument("--dedup-edge-families", default="exact,minhash",
+                   help="comma list of pair generators for the dedup "
+                        "scaling job; the committed CC stress record = "
+                        "exact,minhash,simhash with --cc-endgame-cap 0")
     p.add_argument("--dedup-runs", type=int, default=2,
                    help="measured passes per level (min is reported)")
     args = p.parse_args()
