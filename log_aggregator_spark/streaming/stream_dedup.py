@@ -1,0 +1,293 @@
+"""Streaming deduplication service — the rolling-ingest form of the dedup
+family, run as Structured Streaming over the stored dedup state tables.
+
+A 100 TB corpus is deduplicated ONCE in its life; after that every crawl
+batch must be folded in incrementally: probe the stored indexes, update the
+stored cluster table, append the batch's own index rows — never re-read old
+text. The batch seams for this already exist (``incremental_exact``,
+``incremental_near_lsh``, ``merge_clusters``); this module is the service
+that drives them from a stream:
+
+    readStream(file source over a documents table)
+      → foreachBatch:
+          exact probe   — batch fingerprints vs the stored fp table
+                          (LEFT ANTI survivors + dup edges to the stored
+                          canonical; md5 fingerprints only, text never
+                          crosses the shuffle)
+          near probe    — MinHash band keys for content-fresh batch docs
+                          vs the stored band-key index (ids-only equi-join
+                          on (band, key), 24 B/row) PLUS the intra-batch
+                          self-join (new↔new near-dups the index can't see
+                          yet)
+          cluster merge — ``merge_clusters``: batch-sized CC over the
+                          contracted subgraph, broadcast label remap; the
+                          corpus-wide graph is never rebuilt
+          one ATOMIC ``TableGroup`` commit of {fingerprints, band_keys,
+          clusters, decisions} — a crash anywhere leaves the previous
+          snapshot fully visible and the replayed micro-batch is detected
+          by its batch_id in the group lineage (exactly-once on top of
+          Structured Streaming's at-least-once foreachBatch contract, the
+          standard idempotent-sink pattern).
+
+Why state lives in ACID tables, NOT the streaming state store: dedup state
+is corpus-sized (one fp + 4 band keys per EVER-ingested doc). A state store
+keyed that way re-shuffles every batch into the full key space and holds
+TBs of RocksDB per executor; the stored-table form probes with one ids-only
+join against bucketed storage and appends. The state store is the right
+home for the seq-gate (bounded per-stream state, ``stream_pipeline``); it
+is the wrong home for an index over everything ever seen.
+
+Recipe stability — the one semantic difference from the batch family: the
+dynamic ``DF_CAP`` document-frequency cap is corpus-dependent (a shingle's
+df changes as the corpus grows), so an index built with it cannot be probed
+consistently later. The streaming recipe is therefore per-doc deterministic
+— every shingle of the doc, optionally minus a FROZEN ``stop_shingles``
+list (the static analog of the df-cap, refreshed offline like a stop-word
+list; hot-bucket protection at probe time comes from the band-key join's
+AQE skew handling plus the stop list). Under one shared recipe the
+streaming fold is connectivity-identical to a full batch recompute —
+pytest-proven two ways in tests/test_stream_dedup.py (exact-dup docs carry
+band keys identical to their canonical's, so skipping them drops no
+component connection; first-arrival vs min-doc-id canonicals differ only in
+edge direction, and ``components`` labels by component min either way).
+
+Reference parity: the reference's dedupe guarantee is per-restart-cycle
+over its ``.lastSeq`` checkpoints (``datadecoder/README.md:9-15``); this is
+the same idea — dedupe new arrivals against durable state, never rescan
+history — lifted to corpus scale and near-duplicate semantics (SURVEY.md §2
+S7/S13, §2b dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions import dedup as fdedup
+from ..functions.text import shingles
+from ..tableio import TableGroup
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+# Group members. fingerprints: (fp, doc_id) — doc_id is the stored canonical
+# holder of that content. band_keys: (doc_id, band, key) for every
+# content-fresh doc. clusters: (doc_id, cluster_id, is_canonical) — the
+# maintained duplicate_clusters table. decisions: per-doc audit trail.
+FINGERPRINTS = "fingerprints"
+BAND_KEYS = "band_keys"
+CLUSTERS = "clusters"
+DECISIONS = "decisions"
+
+_CLUSTERS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("cluster_id", LongType()),
+        StructField("is_canonical", LongType()),
+    ]
+)
+_FP_SCHEMA = StructType(
+    [StructField("fp", StringType()), StructField("doc_id", LongType())]
+)
+_KEYS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("key", StringType()),
+    ]
+)
+
+VERDICT_EXACT = "exact_dup"
+VERDICT_NEAR = "near_dup_suspect"
+VERDICT_UNIQUE = "unique"
+
+
+def _fp(col):
+    # Same normalized-content fingerprint as exact_groups / incremental_exact.
+    return F.md5(F.lower(F.trim(col)))
+
+
+def batch_band_keys(
+    docs: DataFrame, stop_shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band, key) under the per-doc deterministic recipe: all word
+    3-gram shingles (minus the frozen stop list) → 8 minhashes → 4 banded
+    keys. MUST be used for both index build and probe — see module header
+    on recipe stability."""
+    sh = shingles(docs, n=3)
+    if stop_shingles is not None:
+        sh = sh.join(
+            F.broadcast(stop_shingles.select("shingle")), "shingle", "left_anti"
+        )
+    return fdedup.minhash_band_keys(
+        fdedup.minhash_signatures(docs, shingles_df=sh)
+    )
+
+
+def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
+    return spark.createDataFrame([], schema=schema)
+
+
+def apply_dedup_batch(
+    spark: SparkSession,
+    group: TableGroup,
+    batch: DataFrame,
+    batch_id: int,
+    stop_shingles: DataFrame | None = None,
+) -> int | None:
+    """Fold one micro-batch of documents into the dedup state group.
+    Returns the new group snapshot id, or None when the batch was empty or
+    already applied (foreachBatch replay after a failure — Structured
+    Streaming re-delivers the same rows under the same batch_id, so
+    skipping IS exactly-once). Usable directly for a non-streaming rolling
+    batch job; ``stream_dedup`` wires it as the foreachBatch sink."""
+    snap = group.current_snapshot()
+    if snap is not None:
+        applied = group.lineage().get("batch_id")
+        if applied is not None and int(applied) >= int(batch_id):
+            return None
+
+    # At-least-once upstream: collapse intra-batch re-deliveries, drop docs
+    # already folded in by an earlier batch (ids-only anti-join).
+    batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
+    if snap is not None:
+        stored = group.read_member(spark, CLUSTERS)
+        fp_tbl = group.read_member(spark, FINGERPRINTS)
+        key_tbl = group.read_member(spark, BAND_KEYS)
+        batch = batch.join(stored.select("doc_id"), "doc_id", "left_anti")
+    else:
+        stored = _empty(spark, _CLUSTERS_SCHEMA)
+        fp_tbl = _empty(spark, _FP_SCHEMA)
+        key_tbl = _empty(spark, _KEYS_SCHEMA)
+
+    # The batch is re-read by every stage below (fp probe, shingling,
+    # decisions); pin the batch-sized frame once instead of re-running the
+    # source scan + anti-join per consumer.
+    batch = batch.localCheckpoint()
+    if batch.isEmpty():
+        return None
+
+    # ---- exact probe (fingerprints only; text never crosses a shuffle)
+    bfp = batch.select("doc_id", _fp(F.col("text")).alias("fp"))
+    corpus_hits = bfp.join(
+        fp_tbl.select("fp", F.col("doc_id").alias("dup_of")), "fp"
+    ).select("doc_id", "dup_of")
+    fresh = bfp.join(fp_tbl.select("fp"), "fp", "left_anti")
+    canon = fresh.groupBy("fp").agg(F.min("doc_id").alias("canon"))
+    fresh_canon = fresh.join(canon, "fp").where(
+        F.col("doc_id") == F.col("canon")
+    )
+    batch_stars = (
+        fresh.join(canon, "fp")
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", F.col("canon").alias("dup_of"))
+    )
+    exact_edges = corpus_hits.unionByName(batch_stars).select(
+        F.col("doc_id").alias("doc_a"), F.col("dup_of").alias("doc_b")
+    )
+
+    # ---- near probe: band keys ONLY for content-fresh canonicals (an
+    # exact dup's shingles are its canonical's shingles — identical keys,
+    # zero extra connectivity; see module header for the parity proof).
+    new_keys = batch_band_keys(
+        batch.join(fresh_canon.select("doc_id"), "doc_id"), stop_shingles
+    ).localCheckpoint()  # feeds two probes + the index append
+    vs_corpus = (
+        new_keys.join(
+            key_tbl.select("band", "key", F.col("doc_id").alias("c_doc")),
+            ["band", "key"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("c_doc").alias("doc_b"))
+        .distinct()
+    )
+    a, b = new_keys.alias("a"), new_keys.alias("b")
+    vs_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    near_edges = vs_corpus.unionByName(vs_batch)
+
+    # ---- incremental cluster maintenance (batch-sized CC + broadcast remap)
+    new_clusters = fdedup.merge_clusters(
+        stored,
+        batch.select("doc_id"),
+        exact_edges.unionByName(near_edges),
+    )
+
+    # ---- audit decisions (exact beats near; near = any band collision)
+    near_docs = (
+        near_edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(near_edges.select(F.col("doc_b").alias("doc_id")))
+        .join(batch.select("doc_id"), "doc_id")  # only batch-side verdicts
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    exact_docs = exact_edges.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("dup_of")
+    )
+    decisions = (
+        batch.select("doc_id")
+        .join(exact_docs, "doc_id", "left")
+        .join(near_docs, "doc_id", "left")
+        .select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit(VERDICT_EXACT))
+            .when(F.col("_near").isNotNull(), F.lit(VERDICT_NEAR))
+            .otherwise(F.lit(VERDICT_UNIQUE))
+            .alias("verdict"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )
+
+    n_docs = batch.count()
+    return group.commit(
+        {
+            FINGERPRINTS: (
+                fresh_canon.select("fp", F.col("doc_id").cast("long")),
+                "append",
+            ),
+            BAND_KEYS: (new_keys, "append"),
+            CLUSTERS: (new_clusters, "overwrite"),
+            DECISIONS: (decisions, "append"),
+        },
+        lineage={"batch_id": int(batch_id), "n_docs": int(n_docs)},
+    )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    state_root: str,
+    max_files_per_trigger: int | None = None,
+    stop_shingles: DataFrame | None = None,
+):
+    """DataStreamWriter folding a document stream into the dedup state
+    group at ``state_root``. Caller attaches checkpoint + trigger:
+
+        stream_dedup(spark, in_dir, state_root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+
+    Rate limiting via ``maxFilesPerTrigger`` bounds per-batch probe size
+    exactly like the pipeline stream (S16 analog)."""
+    group = TableGroup(state_root)
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_dedup_batch(spark, group, batch_df, batch_id, stop_shingles)
+
+    return docs.writeStream.foreachBatch(_sink)

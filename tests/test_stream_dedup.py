@@ -1,0 +1,221 @@
+"""Streaming dedup gate: the rolling foreachBatch fold over the stored
+state group must be connectivity-identical to a full batch recompute over
+the union corpus (same per-doc recipe, exact+minhash edge families), and
+exactly-once under micro-batch replay."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from log_aggregator_spark.functions import dedup as fdedup
+from log_aggregator_spark.functions.text import shingles
+from log_aggregator_spark.streaming import apply_dedup_batch, stream_dedup
+from log_aggregator_spark.streaming.stream_dedup import (
+    BAND_KEYS,
+    CLUSTERS,
+    DECISIONS,
+    FINGERPRINTS,
+    VERDICT_EXACT,
+)
+from log_aggregator_spark.tableio import TableGroup
+
+_WORDS = [f"tok{i}" for i in range(40)]
+
+
+def _corpus(n_docs: int, seed: int = 7) -> pd.DataFrame:
+    """Deterministic synthetic corpus with exact-dup groups, near-dup
+    mutation chains and uniques — the same perturbation style as the
+    dedup-scale fixtures, small enough for exact parity asserts."""
+    rng = random.Random(seed)
+    rows = []
+    base_texts: list[str] = []
+    for d in range(n_docs):
+        r = rng.random()
+        if base_texts and r < 0.25:
+            # exact duplicate of an earlier doc
+            text = rng.choice(base_texts)
+        elif base_texts and r < 0.5:
+            # near duplicate: mutate one word of an earlier doc
+            w = rng.choice(base_texts).split()
+            w[rng.randrange(len(w))] = rng.choice(_WORDS)
+            text = " ".join(w)
+        else:
+            text = " ".join(rng.choice(_WORDS) for _ in range(12))
+            base_texts.append(text)
+        rows.append((d, text, "en", f"src{d % 3}", len(text)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _docs_df(spark, pdf):
+    return spark.createDataFrame(
+        pdf,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _full_recompute(spark, pdf) -> pd.DataFrame:
+    """Ground truth: batch duplicate_clusters over the union corpus with the
+    SAME per-doc recipe the stream uses (uncapped shingles — recipe
+    stability, see stream_dedup module header) and the streaming edge
+    families (exact + minhash)."""
+    docs = _docs_df(spark, pdf)
+    return (
+        fdedup.duplicate_clusters(
+            docs,
+            shingles_df=shingles(docs, n=3),
+            edge_families=("exact", "minhash"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _stored_clusters(spark, group) -> pd.DataFrame:
+    return (
+        group.read_member(spark, CLUSTERS)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_stream_dedup_matches_batch_recompute(spark, tmp_path):
+    pdf = _corpus(60)
+    in_dir, state, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+        _docs_df(spark, pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    q = (
+        stream_dedup(spark, in_dir, state, max_files_per_trigger=1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    group = TableGroup(state)
+    got = _stored_clusters(spark, group)
+    want = _full_recompute(spark, pdf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # one atomic group snapshot per non-empty micro-batch
+    assert group.current_snapshot() is not None
+    assert group.lineage()["n_docs"] > 0
+
+
+def test_apply_batch_incremental_equals_recompute_and_replay_is_noop(
+    spark, tmp_path
+):
+    pdf = _corpus(50, seed=11)
+    group = TableGroup(str(tmp_path / "state"))
+
+    snap1 = apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:25]), 0)
+    snap2 = apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[25:]), 1)
+    assert snap1 == 1 and snap2 == 2
+
+    want = _full_recompute(spark, pdf)
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, group), want, check_dtype=False
+    )
+
+    # foreachBatch replay after a failure re-delivers the same batch_id:
+    # the fold must be a no-op (exactly-once on at-least-once delivery).
+    assert apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[25:]), 1) is None
+    assert group.current_snapshot() == 2
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, group), want, check_dtype=False
+    )
+
+    # cross-batch re-delivery of already-folded docs under a NEW batch_id:
+    # ids are anti-joined out; empty residue commits nothing.
+    assert apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:10]), 2) is None
+    assert group.current_snapshot() == 2
+
+
+def test_stream_dedup_state_tables_and_decisions(spark, tmp_path):
+    # 3 identical docs + 1 near pair + 1 unique across two batches
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+        (2, "alpha beta gamma delta epsilon zeta eta IOTA", "en", "s", 1),
+        (3, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+        (4, "totally different words entirely unrelated here now yes", "en", "s", 1),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    group = TableGroup(str(tmp_path / "state"))
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:3]), 0)
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[3:]), 1)
+
+    # fingerprint table holds one row per distinct content, canonical = first arrival
+    fps = group.read_member(spark, FINGERPRINTS).toPandas()
+    assert len(fps) == 3  # {0-dup content, 2's content, 4's content}
+    assert set(fps.doc_id) == {0, 2, 4}
+
+    # band keys only for content-fresh canonicals (exact dups carry none)
+    keys = group.read_member(spark, BAND_KEYS).toPandas()
+    assert set(keys.doc_id.unique()) == {0, 2, 4}
+
+    dec = group.read_member(spark, DECISIONS).toPandas()
+    exact = dec[dec.verdict == VERDICT_EXACT].sort_values("doc_id")
+    assert list(exact.doc_id) == [1, 3]
+    assert list(exact.dup_of) == [0, 0]  # both point at the stored canonical
+
+    # docs 0,1,2,3 share one cluster (exact + near edges); 4 is alone
+    cl = _stored_clusters(spark, group)
+    by_doc = dict(zip(cl.doc_id, cl.cluster_id))
+    assert by_doc[0] == by_doc[1] == by_doc[2] == by_doc[3] == 0
+    assert by_doc[4] == 4
+    # parity with full recompute on the union corpus
+    pd.testing.assert_frame_equal(cl, _full_recompute(spark, pdf), check_dtype=False)
+
+
+def test_stream_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill/restart: second availableNow run over a grown input folds ONLY
+    the new files (checkpoint) and replaying the state group from scratch
+    is never needed."""
+    pdf = _corpus(40, seed=3)
+    in_dir, state, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    _docs_df(spark, pdf.iloc[:20]).coalesce(1).write.mode("append").parquet(in_dir)
+    q = (
+        stream_dedup(spark, in_dir, state, max_files_per_trigger=1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    group = TableGroup(state)
+    snap_mid = group.current_snapshot()
+    assert snap_mid is not None
+
+    _docs_df(spark, pdf.iloc[20:]).coalesce(1).write.mode("append").parquet(in_dir)
+    q = (
+        stream_dedup(spark, in_dir, state, max_files_per_trigger=1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert group.current_snapshot() > snap_mid
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, group),
+        _full_recompute(spark, pdf),
+        check_dtype=False,
+    )
