@@ -536,6 +536,40 @@ def main() -> None:
                      ["md5-cell projection in codegen; 3×|sources| key "
                       "space collapses map-side"]))
 
+    # --- streaming dedup probe: ids-only band-key join, text never
+    # shuffles (the foreachBatch fold's only corpus-sized work) ----------
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark.streaming.stream_dedup import batch_band_keys
+
+    # narrow filter stands in for the micro-batch (a localCheckpointed
+    # scan in production — no exchange either way; limit() would add a
+    # whole-row single-partition shuffle that the real fold never has)
+    sd_new = batch_band_keys(docs.where(F.col("doc_id") % 8 == 0))
+    sd_idx = batch_band_keys(docs).select(
+        F.col("doc_id").alias("c_doc"), "band", "key"
+    )
+    sd_probe = (
+        sd_new.join(sd_idx, ["band", "key"])
+        .select(F.col("doc_id").alias("doc_a"), F.col("c_doc").alias("doc_b"))
+        .distinct()
+    )
+    sdplan = fmt_plan(sd_probe)
+    check("stream-dedup probe equi-join", "CartesianProduct" not in sdplan,
+          "the stored-index probe must be an equi-join on (band, key)")
+    check("stream-dedup probe ids-only",
+          all("text#" not in x for x in exchange_inputs(sdplan)),
+          "document text must not cross ANY shuffle in the per-batch "
+          "probe — band keys and ids only (the index table itself is "
+          "append-only storage)")
+    sections.append(("stream_dedup_probe", sdplan,
+                     ["the streaming fold's corpus-sized join: batch band "
+                      "keys vs the stored index, 24 B/row; cluster "
+                      "maintenance after it is batch-sized CC + a "
+                      "broadcast remap (asserted in tests/"
+                      "test_dedup_scale.py::test_merge_clusters_remap_"
+                      "is_broadcast)"]))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("# Physical plan audit\n\n")
         f.write("Generated by `python scripts/audit_plans.py` — asserts the "

@@ -219,3 +219,23 @@ def test_stream_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
         _full_recompute(spark, pdf),
         check_dtype=False,
     )
+
+
+def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
+    """Any ordered partition of any corpus into micro-batches folds to the
+    same cluster table as the one-shot recompute — the invariant the whole
+    service rests on, fuzzed over corpus shapes and split points."""
+    for seed in (1, 2, 5):
+        rng = random.Random(100 + seed)
+        pdf = _corpus(45, seed=seed)
+        cuts = sorted(rng.sample(range(1, 44), rng.randint(1, 4)))
+        bounds = [0, *cuts, 45]
+        group = TableGroup(str(tmp_path / f"state{seed}"))
+        for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[lo:hi]), b)
+        pd.testing.assert_frame_equal(
+            _stored_clusters(spark, group),
+            _full_recompute(spark, pdf),
+            check_dtype=False,
+            obj=f"seed={seed} bounds={bounds}",
+        )
