@@ -780,6 +780,45 @@ def merge_clusters(
     min over the merged component's members — the incremental result is
     row-identical to a full recompute (pytest-proven on a two-batch
     fixture)."""
+    batch_labels, label_remap = merge_clusters_delta(
+        stored, batch_nodes, batch_edges
+    )
+    remap = F.broadcast(label_remap)
+    idx = stored.select("doc_id", "cluster_id")
+    updated = (
+        idx.join(remap, idx["cluster_id"] == remap["old_label"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    return updated.unionByName(batch_labels).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+    )
+
+
+def merge_clusters_delta(
+    stored: DataFrame, batch_nodes: DataFrame, batch_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA form of ``merge_clusters`` — what an append-only cluster
+    store actually needs to persist per batch, instead of the rewritten
+    corpus-wide table:
+
+    * ``batch_labels`` (doc_id, cluster_id): labels for the NEW docs only —
+      batch-sized, appended to the base table;
+    * ``label_remap`` (old_label, new_label): the stored labels this batch
+      merged into a smaller one — bounded by the number of merge events,
+      NOT the corpus (empty when the batch bridges nothing).
+
+    ``merge_clusters`` (the corpus-rewrite form the gate query compares
+    against) is ``apply``ing this delta; the streaming service persists
+    the delta and resolves on read (``stream_dedup.read_clusters``), so a
+    micro-batch commit writes O(batch + merges) rows, never O(corpus) —
+    the same base-plus-delta amortization as Iceberg's merge-on-read.
+    Labels only ever DECREASE (component min), so remap entries can't
+    cycle and one consolidation pass keeps the stored remap single-hop."""
     idx = stored.select("doc_id", "cluster_id")
     la = idx.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_la"))
     lb = idx.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_lb"))
@@ -801,24 +840,25 @@ def merge_clusters(
         .unionByName(new_nodes)
         .distinct()
     )
-    # batch-sized CC over the contracted subgraph (labels + new ids)
     sub = components(contracted, sub_nodes).select(
         F.col("doc_id").alias("_old"), F.col("cluster_id").alias("_new")
     )
-    remap = F.broadcast(sub.where(F.col("_old") != F.col("_new")))
-    updated = (
-        idx.join(remap, idx["cluster_id"] == remap["_old"], "left")
-        .select("doc_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"))
+    batch_labels = (
+        new_nodes.join(sub, new_nodes["doc_id"] == sub["_old"], "left")
+        .select(
+            "doc_id", F.coalesce("_new", F.col("doc_id")).alias("cluster_id")
+        )
     )
-    appended = (
-        new_nodes.join(remap, new_nodes["doc_id"] == remap["_old"], "left")
-        .select("doc_id", F.coalesce("_new", F.col("doc_id")).alias("cluster_id"))
+    # remap rows for STORED labels only (batch ids can't collide with
+    # stored labels — new_nodes is anti-joined against the store)
+    label_remap = (
+        sub.where(F.col("_old") != F.col("_new"))
+        .join(new_nodes, sub["_old"] == new_nodes["doc_id"], "left_anti")
+        .select(
+            F.col("_old").alias("old_label"), F.col("_new").alias("new_label")
+        )
     )
-    return updated.unionByName(appended).select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
-    )
+    return batch_labels, label_remap
 
 
 def survivors_by_quality(

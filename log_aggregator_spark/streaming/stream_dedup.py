@@ -19,11 +19,13 @@ that drives them from a stream:
                           on (band, key), 24 B/row) PLUS the intra-batch
                           self-join (new↔new near-dups the index can't see
                           yet)
-          cluster merge — ``merge_clusters``: batch-sized CC over the
-                          contracted subgraph, broadcast label remap; the
-                          corpus-wide graph is never rebuilt
+          cluster merge — ``merge_clusters_delta``: batch-sized CC over
+                          the contracted subgraph; persists ONLY the delta
+                          (new docs' labels appended, merge-event-sized
+                          remap consolidated) — the corpus-wide cluster
+                          table is never rebuilt NOR rewritten
           one ATOMIC ``TableGroup`` commit of {fingerprints, band_keys,
-          clusters, decisions} — a crash anywhere leaves the previous
+          clusters_base, label_remap, decisions} — a crash anywhere leaves the previous
           snapshot fully visible and the replayed micro-batch is detected
           by its batch_id in the group lineage (exactly-once on top of
           Structured Streaming's at-least-once foreachBatch contract, the
@@ -74,18 +76,35 @@ DOC_SCHEMA = (
 
 # Group members. fingerprints: (fp, doc_id) — doc_id is the stored canonical
 # holder of that content. band_keys: (doc_id, band, key) for every
-# content-fresh doc. clusters: (doc_id, cluster_id, is_canonical) — the
-# maintained duplicate_clusters table. decisions: per-doc audit trail.
+# content-fresh doc. decisions: per-doc audit trail.
+#
+# The cluster table is stored BASE + DELTA, never rewritten per batch:
+# clusters_base (doc_id, cluster_id) is APPEND-ONLY — each doc's label at
+# ingest time; label_remap (old_label, new_label) is the small consolidated
+# set of labels later merged into a smaller one (bounded by merge events,
+# not corpus size; kept single-hop because labels only ever decrease).
+# ``read_clusters`` resolves base through remap; ``compact_clusters`` folds
+# the remap into the base periodically (the Iceberg merge-on-read →
+# compaction amortization). A naive (doc_id, cluster_id) overwrite per
+# micro-batch would rewrite the full corpus-sized table every batch —
+# 16 TB/batch at 10^12 docs — which is exactly the cost shape this layout
+# exists to avoid.
 FINGERPRINTS = "fingerprints"
 BAND_KEYS = "band_keys"
-CLUSTERS = "clusters"
+CLUSTERS_BASE = "clusters_base"
+LABEL_REMAP = "label_remap"
 DECISIONS = "decisions"
 
-_CLUSTERS_SCHEMA = StructType(
+_BASE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("cluster_id", LongType()),
-        StructField("is_canonical", LongType()),
+    ]
+)
+_REMAP_SCHEMA = StructType(
+    [
+        StructField("old_label", LongType()),
+        StructField("new_label", LongType()),
     ]
 )
 _FP_SCHEMA = StructType(
@@ -130,6 +149,45 @@ def _empty(spark: SparkSession, schema: StructType) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
 
+def read_clusters(spark: SparkSession, group: TableGroup) -> DataFrame:
+    """The resolved duplicate-clusters view: append-only base labels
+    resolved through the consolidated remap (single-hop by construction).
+    Remap is merge-event-sized — broadcast under AQE in the common case;
+    past broadcast size the join degrades gracefully to a shuffle join and
+    ``compact_clusters`` resets it."""
+    base = group.read_member(spark, CLUSTERS_BASE)
+    remap = group.read_member(spark, LABEL_REMAP)
+    return (
+        base.join(remap, base["cluster_id"] == remap["old_label"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("long"),
+        )
+    )
+
+
+def compact_clusters(spark: SparkSession, group: TableGroup) -> int:
+    """Fold the remap into the base (ONE amortized corpus-sized rewrite)
+    and empty it — run when the remap outgrows broadcast size, exactly like
+    Iceberg table compaction. Atomic: readers see either the old
+    base+remap or the new base+empty, never a half state."""
+    resolved = read_clusters(spark, group).select("doc_id", "cluster_id")
+    return group.commit(
+        {
+            CLUSTERS_BASE: (resolved, "overwrite"),
+            LABEL_REMAP: (_empty(spark, _REMAP_SCHEMA), "overwrite"),
+        },
+        lineage={
+            "batch_id": int(group.lineage().get("batch_id", -1)),
+            "compaction": True,
+        },
+    )
+
+
 def apply_dedup_batch(
     spark: SparkSession,
     group: TableGroup,
@@ -150,15 +208,19 @@ def apply_dedup_batch(
             return None
 
     # At-least-once upstream: collapse intra-batch re-deliveries, drop docs
-    # already folded in by an earlier batch (ids-only anti-join).
+    # already folded in by an earlier batch (ids-only anti-join against the
+    # append-only base — membership needs no remap resolution).
     batch = batch.select("doc_id", "text").dropDuplicates(["doc_id"])
     if snap is not None:
-        stored = group.read_member(spark, CLUSTERS)
+        base = group.read_member(spark, CLUSTERS_BASE)
+        old_remap = group.read_member(spark, LABEL_REMAP)
+        stored = read_clusters(spark, group)
         fp_tbl = group.read_member(spark, FINGERPRINTS)
         key_tbl = group.read_member(spark, BAND_KEYS)
-        batch = batch.join(stored.select("doc_id"), "doc_id", "left_anti")
+        batch = batch.join(base.select("doc_id"), "doc_id", "left_anti")
     else:
-        stored = _empty(spark, _CLUSTERS_SCHEMA)
+        old_remap = _empty(spark, _REMAP_SCHEMA)
+        stored = _empty(spark, _BASE_SCHEMA)
         fp_tbl = _empty(spark, _FP_SCHEMA)
         key_tbl = _empty(spark, _KEYS_SCHEMA)
 
@@ -217,12 +279,29 @@ def apply_dedup_batch(
     )
     near_edges = vs_corpus.unionByName(vs_batch)
 
-    # ---- incremental cluster maintenance (batch-sized CC + broadcast remap)
-    new_clusters = fdedup.merge_clusters(
+    # ---- incremental cluster maintenance: persist the DELTA, not a
+    # rewritten corpus table (batch-sized CC; O(batch + merges) rows
+    # written). Consolidate the stored remap through this batch's merges
+    # so it stays single-hop: (a→b) becomes (a→c) when this batch merges
+    # b→c; entries for labels current until now are appended as-is.
+    batch_labels, delta = fdedup.merge_clusters_delta(
         stored,
         batch.select("doc_id"),
         exact_edges.unionByName(near_edges),
     )
+    delta = delta.localCheckpoint()  # read twice below; merge-event-sized
+    composed = (
+        old_remap.join(
+            F.broadcast(delta), old_remap["new_label"] == delta["old_label"], "left"
+        )
+        .select(
+            old_remap["old_label"],
+            F.coalesce(delta["new_label"], old_remap["new_label"]).alias(
+                "new_label"
+            ),
+        )
+    )
+    new_remap = composed.unionByName(delta)
 
     # ---- audit decisions (exact beats near; near = any band collision)
     near_docs = (
@@ -258,7 +337,8 @@ def apply_dedup_batch(
                 "append",
             ),
             BAND_KEYS: (new_keys, "append"),
-            CLUSTERS: (new_clusters, "overwrite"),
+            CLUSTERS_BASE: (batch_labels, "append"),
+            LABEL_REMAP: (new_remap, "overwrite"),
             DECISIONS: (decisions, "append"),
         },
         lineage={"batch_id": int(batch_id), "n_docs": int(n_docs)},

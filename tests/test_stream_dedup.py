@@ -14,10 +14,13 @@ from log_aggregator_spark.functions.text import shingles
 from log_aggregator_spark.streaming import apply_dedup_batch, stream_dedup
 from log_aggregator_spark.streaming.stream_dedup import (
     BAND_KEYS,
-    CLUSTERS,
+    CLUSTERS_BASE,
     DECISIONS,
     FINGERPRINTS,
+    LABEL_REMAP,
     VERDICT_EXACT,
+    compact_clusters,
+    read_clusters,
 )
 from log_aggregator_spark.tableio import TableGroup
 
@@ -77,7 +80,7 @@ def _full_recompute(spark, pdf) -> pd.DataFrame:
 
 def _stored_clusters(spark, group) -> pd.DataFrame:
     return (
-        group.read_member(spark, CLUSTERS)
+        read_clusters(spark, group)
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -141,6 +144,23 @@ def test_apply_batch_incremental_equals_recompute_and_replay_is_noop(
     # ids are anti-joined out; empty residue commits nothing.
     assert apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:10]), 2) is None
     assert group.current_snapshot() == 2
+
+    # storage shape: the base is APPEND-ONLY with one row per folded doc
+    # (never a rewritten corpus table), the remap is single-hop and
+    # bounded by merge events, and compaction folds it in atomically
+    # without changing the resolved view.
+    base = group.read_member(spark, CLUSTERS_BASE).toPandas()
+    assert len(base) == len(pdf) and base.doc_id.is_unique
+    remap = group.read_member(spark, LABEL_REMAP).toPandas()
+    assert (remap.new_label < remap.old_label).all()  # labels only decrease
+    assert not set(remap.old_label) & set(remap.new_label)  # single-hop
+    compact_clusters(spark, group)
+    assert group.read_member(spark, LABEL_REMAP).count() == 0
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, group), want, check_dtype=False
+    )
+    # and folding continues cleanly after a compaction
+    assert apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:10]), 3) is None
 
 
 def test_stream_dedup_state_tables_and_decisions(spark, tmp_path):
