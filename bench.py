@@ -205,6 +205,69 @@ def run_dedup_job(
     }
 
 
+def run_stream_dedup_job(
+    spark, docs_path: str, run_dir: str, n_batches: int
+) -> dict:
+    """One measured STREAMING dedup drain: the real Structured Streaming
+    foreachBatch fold (``streaming.stream_dedup``) over the skewed synth
+    corpus split into ``n_batches`` micro-batches via maxFilesPerTrigger,
+    with a fresh state group + checkpoint per run. Measures the full
+    service — per-batch index probes against the GROWING stored tables,
+    delta cluster maintenance, atomic TableGroup commits — not just the
+    kernels. The per-doc frozen recipe (no df-cap) is safe on this corpus
+    by construction: the hot template is byte-identical (one canonical
+    carries its shingles), and near-group shingles are group-local."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark.streaming.stream_dedup import (
+        read_clusters, stream_dedup,
+    )
+    from log_aggregator_spark.tableio import TableGroup
+
+    shutil.rmtree(run_dir, ignore_errors=True)
+    state_root = os.path.join(run_dir, "state")
+    ckpt = os.path.join(run_dir, "ckpt")
+    n_files = len(_glob.glob(os.path.join(docs_path, "part-*")))
+    per_trigger = max(1, (n_files + n_batches - 1) // n_batches)
+    t0 = time.perf_counter()
+    q = (
+        stream_dedup(
+            spark, docs_path, state_root,
+            max_files_per_trigger=per_trigger,
+            schema="doc_id long, text string",
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t1 = time.perf_counter()
+    group = TableGroup(state_root)
+    row = (
+        read_clusters(spark, group)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.col("cluster_id") % 997).alias("checksum"),
+        )
+        .collect()[0]
+    )
+    n_remap = group.read_member(spark, "label_remap").count()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+    return {
+        "sec": t1 - t0,
+        "n_batches": int(group.current_snapshot() or 0),
+        "files_per_trigger": per_trigger,
+        "n_docs": row["n_docs"],
+        "n_clusters": row["n_clusters"],
+        "checksum": int(row["checksum"]),
+        "n_remap_rows": int(n_remap),
+    }
+
+
 def shm_or(workdir: str, sub: str) -> str:
     """Prefer tmpfs for shuffle/local dirs and measured sink output — the
     sandbox stand-in for the per-executor local NVMe + distributed sink a
@@ -603,6 +666,154 @@ def main_dedup(args) -> None:
     spark.stop()
 
 
+def main_stream_dedup(args) -> None:
+    """Inner (pinned-subprocess) streaming-dedup measurement at one
+    parallelism level: one warm-up drain, then min of --dedup-runs
+    measured drains, each from a FRESH state group + checkpoint (the
+    batch_id replay guard would otherwise no-op every batch)."""
+    from log_aggregator_spark.session import get_spark
+
+    if args.lc_executors:
+        # true multi-executor form: each executor its own JVM (same
+        # discipline as the batch dedup scaling path's executor pair)
+        os.environ.setdefault("SPARK_HOME", "/opt/spark")
+        cores = f"exec_{args.lc_executors}"
+        spark = get_spark(
+            "bench-stream-dedup",
+            cores=lc_master(args.lc_executors, mem_mb=args.lc_mem_mb),
+            shuffle_partitions=args.shuffle_partitions or 32,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"sdedup_{cores}"),
+                "spark.executorEnv.PYTHONPATH": REPO,
+            },
+        )
+    else:
+        cores = args.cores or "8"
+        spark = get_spark(
+            "bench-stream-dedup", cores=cores,
+            shuffle_partitions=args.shuffle_partitions,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"sdedup_{cores}")},
+        )
+    path = materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
+    run_dir = shm_or(args.workdir, f"sdedup_state_{cores}")
+    run_stream_dedup_job(spark, path, run_dir, args.stream_batches)  # warm-up
+    runs = sorted(
+        (
+            run_stream_dedup_job(spark, path, run_dir, args.stream_batches)
+            for _ in range(args.dedup_runs)
+        ),
+        key=lambda r: r["sec"],
+    )
+    best = dict(runs[0])
+    best["all_runs_sec"] = [round(r["sec"], 3) for r in runs]
+    best["sec"] = round(best["sec"], 3)
+    best["cores"] = str(cores)
+    best["docs_per_sec"] = round(best["n_docs"] / best["sec"], 1)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(best, f, indent=1)
+    print(json.dumps(best))
+    spark.stop()
+
+
+def main_scaling_stream_dedup(args) -> None:
+    """North-rule evidence for the STREAMING dedup service: the identical
+    micro-batch fold (same corpus, same batch split) at local[N] vs
+    local[4N], pinned process trees, answer-equality asserted across
+    levels. Writes the pair JSON + summary under BENCH/."""
+    from log_aggregator_spark.session import get_spark
+
+    os.makedirs(args.workdir, exist_ok=True)
+    if not os.path.exists(
+        os.path.join(args.workdir, f"dedup_synth_{args.dedup_docs}", "_DONE")
+    ):
+        spark = get_spark(
+            "bench-materialize", cores="*",
+            extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")},
+        )
+        materialize_dedup_synth(spark, args.dedup_docs, args.workdir)
+        spark.stop()
+
+    if args.skip_local_pair:
+        # executor pair: 1 vs 4 REAL executor JVMs (4 cores + lc-mem each)
+        levels = [("exec_1", 1, 5), ("exec_4", 4, 17)]
+        n_label, n4_label = "local-cluster[1,4]", "local-cluster[4,4]"
+    else:
+        levels = [
+            (str(args.n), 0, args.n),
+            (str(args.n * 4), 0, args.n * 4),
+        ]
+        n_label, n4_label = f"local[{args.n}]", f"local[{args.n * 4}]"
+    results = {}
+    for tag, lc_execs, pin_cores in levels:
+        json_out = os.path.join(args.workdir, f"sdedup_scaling_{tag}.json")
+        cmd = [
+            sys.executable, __file__,
+            "--stream-dedup-run",
+            "--dedup-docs", str(args.dedup_docs),
+            "--dedup-runs", str(args.dedup_runs),
+            "--stream-batches", str(args.stream_batches),
+            "--workdir", args.workdir,
+            "--json-out", json_out,
+        ]
+        if lc_execs:
+            cmd += ["--lc-executors", str(lc_execs),
+                    "--lc-mem-mb", str(args.lc_mem_mb)]
+        else:
+            cmd += ["--cores", tag]
+        if args.shuffle_partitions:
+            cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        log = os.path.join(args.workdir, f"sdedup_scaling_{tag}.log")
+        for attempt in (1, 2):
+            with open(log, "w") as lf:
+                r = subprocess.run(
+                    cmd, env=env, stdout=lf, stderr=subprocess.STDOUT
+                )
+            if r.returncode == 0:
+                break
+            if attempt == 2:
+                raise RuntimeError(
+                    f"stream-dedup bench subprocess failed twice; see {log}"
+                )
+        with open(json_out) as f:
+            results[tag] = json.load(f)
+    lo, hi = results[levels[0][0]], results[levels[1][0]]
+    # correctness control: both levels fold to the identical answer
+    for k in ("n_docs", "n_clusters", "checksum", "n_batches"):
+        assert lo[k] == hi[k], f"{k} differs across levels: {lo[k]} != {hi[k]}"
+    summary = {
+        "metric": "stream_dedup_scaling_efficiency",
+        "value": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0, 3),
+        "unit": "ratio",
+        "n_cores": n_label,
+        "n4_cores": n4_label,
+        "docs_per_sec_n": lo["docs_per_sec"],
+        "docs_per_sec_4n": hi["docs_per_sec"],
+        "sec_n": lo["sec"],
+        "sec_4n": hi["sec"],
+        "dedup_docs": args.dedup_docs,
+        "n_batches": lo["n_batches"],
+        "n_clusters": lo["n_clusters"],
+        "n_remap_rows": lo["n_remap_rows"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    btag = f"_b{args.stream_batches}" if args.stream_batches != 8 else ""
+    etag = "_exec" if args.skip_local_pair else ""
+    out = os.path.join(
+        REPO, "BENCH",
+        f"STREAM_DEDUP_SCALING_{args.dedup_docs}{btag}{etag}.json",
+    )
+    with open(out, "w") as f:
+        json.dump({"summary": summary, "levels": results}, f, indent=1)
+    print(json.dumps(summary))
+
+
 def _fams_tag(args) -> str:
     """Filename tag for non-default edge families so a stress-shape run
     never clobbers the committed daily-shape record."""
@@ -846,8 +1057,19 @@ if __name__ == "__main__":
                         "exact,minhash,simhash with --cc-endgame-cap 0")
     p.add_argument("--dedup-runs", type=int, default=2,
                    help="measured passes per level (min is reported)")
+    p.add_argument("--scaling-stream-dedup", action="store_true",
+                   help="N vs 4N scaling for the STREAMING dedup service "
+                        "(foreachBatch fold over the skewed synth corpus)")
+    p.add_argument("--stream-dedup-run", action="store_true",
+                   help="(internal) single-level streaming-dedup measurement")
+    p.add_argument("--stream-batches", type=int, default=8,
+                   help="micro-batch count for the streaming dedup bench")
     args = p.parse_args()
-    if args.scaling_dedup:
+    if args.scaling_stream_dedup:
+        main_scaling_stream_dedup(args)
+    elif args.stream_dedup_run:
+        main_stream_dedup(args)
+    elif args.scaling_dedup:
         main_scaling_dedup(args)
     elif args.dedup_run:
         main_dedup(args)

@@ -351,6 +351,7 @@ def stream_dedup(
     state_root: str,
     max_files_per_trigger: int | None = None,
     stop_shingles: DataFrame | None = None,
+    schema: str = DOC_SCHEMA,
 ):
     """DataStreamWriter folding a document stream into the dedup state
     group at ``state_root``. Caller attaches checkpoint + trigger:
@@ -362,7 +363,7 @@ def stream_dedup(
     Rate limiting via ``maxFilesPerTrigger`` bounds per-batch probe size
     exactly like the pipeline stream (S16 analog)."""
     group = TableGroup(state_root)
-    reader = spark.readStream.schema(DOC_SCHEMA)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_dir)
