@@ -226,9 +226,13 @@ def apply_dedup_batch(
 
     # The batch is re-read by every stage below (fp probe, shingling,
     # decisions); pin the batch-sized frame once instead of re-running the
-    # source scan + anti-join per consumer.
+    # source scan + anti-join per consumer. The count doubles as the empty
+    # check — one job over the pinned partitions, not an isEmpty job plus a
+    # count job later (per-batch serial floor: every driver-scheduled job
+    # counts).
     batch = batch.localCheckpoint()
-    if batch.isEmpty():
+    n_docs = batch.count()
+    if n_docs == 0:
         return None
 
     # ---- exact probe (fingerprints only; text never crosses a shuffle)
@@ -329,7 +333,6 @@ def apply_dedup_batch(
         )
     )
 
-    n_docs = batch.count()
     return group.commit(
         {
             FINGERPRINTS: (

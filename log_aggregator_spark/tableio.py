@@ -35,6 +35,7 @@ import glob
 import json
 import os
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -445,8 +446,15 @@ class TableGroup:
         parent = self.current_snapshot()
         parent_tables = self._manifest(parent)["tables"] if parent else {}
 
-        entries: dict[str, dict] = {}
-        for name, (df, mode) in tables.items():
+        # Member writes are independent Spark jobs over disjoint data dirs;
+        # submit them from driver threads so the scheduler overlaps them
+        # (a group commit otherwise pays #members × job latency serially —
+        # the dominant per-micro-batch floor in the streaming dedup fold).
+        # The manifest is assembled after ALL writes complete, in the
+        # caller's member order, so concurrency never reaches visibility:
+        # the single CURRENT swap below still publishes all-or-nothing.
+        def _write(item: tuple[str, tuple[DataFrame, str]]) -> tuple[str, dict]:
+            name, (df, mode) = item
             data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
             df.write.mode("overwrite").parquet(data_dir)
             new_files = sorted(
@@ -456,11 +464,18 @@ class TableGroup:
             files = list(new_files)
             if mode == "append" and name in parent_tables:
                 files = parent_tables[name]["files"] + files
-            entries[name] = {
+            return name, {
                 "files": files,
                 "added_files": new_files,
                 "schema": df.schema.json(),
             }
+
+        items = list(tables.items())
+        if len(items) == 1:
+            entries = dict([_write(items[0])])
+        else:
+            with ThreadPoolExecutor(max_workers=len(items)) as pool:
+                entries = dict(pool.map(_write, items))
         for name, t in parent_tables.items():
             if name not in entries:
                 entries[name] = {**t, "added_files": []}
