@@ -300,6 +300,7 @@ def run_pipeline_job(spark, chunks_path: str, write_out: str | None = None,
 
     t0 = time.perf_counter()
     res = run_pipeline(chunks, routes, checkpoint=None, strategy="sql")
+    sec_write = None
     if write_out is not None:
         # fan-out write IS the routed sink; aggregates then scan the routed
         # output (cheap, column-pruned) instead of recomputing the pipeline.
@@ -307,6 +308,12 @@ def run_pipeline_job(spark, chunks_path: str, write_out: str | None = None,
         from log_aggregator_spark.operators.route import route_write
 
         route_write(res.enriched, write_out)
+        # phase split: the write job runs parse→gate→enrich→fan-out (all
+        # the pipeline compute); the aggregate job is a fresh column-pruned
+        # scan of the routed parquet. Recording them separately lets the
+        # N-vs-4N record attribute (non-)scaling to a phase instead of to
+        # the job as a whole.
+        sec_write = time.perf_counter() - t0
         routed = spark.read.parquet(write_out)
         rows = (
             routed.groupBy("sink")
@@ -318,7 +325,11 @@ def run_pipeline_job(spark, chunks_path: str, write_out: str | None = None,
     elapsed = time.perf_counter() - t0
     n_streams = sum(r["n_rows"] for r in rows)
     n_tok = sum(r["sum_n_tok"] for r in rows)
-    return {"sec": elapsed, "streams": n_streams, "tokens": n_tok}
+    out = {"sec": elapsed, "streams": n_streams, "tokens": n_tok}
+    if sec_write is not None:
+        out["sec_write"] = round(sec_write, 3)
+        out["sec_agg"] = round(elapsed - sec_write, 3)
+    return out
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -445,6 +456,8 @@ def main_default(args) -> None:
         "tokens": e2e["tokens"],
         "seq_per_sec": round(e2e["streams"] / e2e["sec"], 1),
         "all_runs_sec": e2e.get("all_runs_sec"),
+        "sec_write": e2e.get("sec_write"),
+        "sec_agg": e2e.get("sec_agg"),
         "cores": str(cores),
         "multiplier": args.multiplier,
         "synth_docs": args.synth_docs,
@@ -564,7 +577,7 @@ def main_scaling(args) -> None:
 
     def eff_summary(lo_res, hi_res, lo_label, hi_label, ratio):
         thru_lo, thru_hi = lo_res["seq_per_sec"], hi_res["seq_per_sec"]
-        return {
+        out = {
             "metric": "scaling_efficiency",
             "value": round((thru_hi / thru_lo) / ratio, 3),
             "unit": "ratio",
@@ -578,6 +591,19 @@ def main_scaling(args) -> None:
             "multiplier": args.multiplier,
             "synth_docs": args.synth_docs,
         }
+        # per-phase efficiency: which phase carried the non-scaling floor
+        # (compute+write job vs the post-hoc aggregate scan)
+        if lo_res.get("sec_write") and hi_res.get("sec_write"):
+            out["write_eff"] = round(
+                (lo_res["sec_write"] / hi_res["sec_write"]) / ratio, 3)
+            out["sec_write_n"] = lo_res["sec_write"]
+            out["sec_write_4n"] = hi_res["sec_write"]
+        if lo_res.get("sec_agg") and hi_res.get("sec_agg"):
+            out["agg_eff"] = round(
+                (lo_res["sec_agg"] / hi_res["sec_agg"]) / ratio, 3)
+            out["sec_agg_n"] = lo_res["sec_agg"]
+            out["sec_agg_4n"] = hi_res["sec_agg"]
+        return out
 
     # pre-materialize the synth corpus UNPINNED in a full-size local JVM:
     # generating 8M docs inside a single pinned 6 GB executor OOMs before
