@@ -28,7 +28,7 @@ from __future__ import annotations
 import threading
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
@@ -69,12 +69,22 @@ def capped_shingles(
 # ---------------------------------------------------------------- exact
 
 
+def content_fingerprint(col: Column) -> Column:
+    """THE normalized-content fingerprint — md5(lower(trim(text))). Single
+    definition on purpose: the stored fingerprint index
+    (``streaming.stream_dedup``) is probe-consistent only while every
+    writer and prober uses the byte-identical normalization, so every
+    batch/stream/text call site goes through this helper (oracle twins in
+    ``oracle_sql.py`` inline the same SQL expression)."""
+    return F.md5(F.lower(F.trim(col)))
+
+
 def exact_groups(documents: DataFrame) -> DataFrame:
     """(content key → group size + canonical doc). Canonical = min doc_id —
     the deterministic survivor-pick."""
     return (
         documents.select(
-            F.md5(F.lower(F.trim(F.col("text")))).alias("key"), "doc_id"
+            content_fingerprint(F.col("text")).alias("key"), "doc_id"
         )
         .groupBy("key")
         .agg(
@@ -375,7 +385,7 @@ def exact_pairs(documents: DataFrame) -> DataFrame:
     """Star edges (group-min doc ↔ every other doc of the same content key)
     from the exact-dup groups — O(n) edges, never the O(group²) clique."""
     keyed = documents.select(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("key"), "doc_id"
+        content_fingerprint(F.col("text")).alias("key"), "doc_id"
     )
     canon = keyed.groupBy("key").agg(F.min("doc_id").alias("canon"))
     return (
@@ -1066,7 +1076,7 @@ def incremental_exact(corpus: DataFrame, batch: DataFrame) -> DataFrame:
     ``min``/``count`` per fingerprint for the intra-batch pick. Text never
     crosses the shuffle — fingerprints only.
     (doc_id, fp, n_batch_dups)."""
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = content_fingerprint(F.col("text"))
     cfp = corpus.select(fp.alias("fp"))
     bfp = batch.select(fp.alias("fp"), "doc_id")
     fresh = bfp.join(cfp, "fp", "left_anti")

@@ -201,8 +201,13 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     (the min-hash single-signature form of winnowing — robust to local edits)."""
     sh = shingles(documents, n=4)
     min_sh = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp_min_shingle"))
+    # Local import: dedup imports text (shingles/_py_words) at module load,
+    # so text → dedup at call time avoids the cycle while keeping ONE
+    # definition of the normalized-content fingerprint.
+    from .dedup import content_fingerprint
+
     full = documents.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+        "doc_id", content_fingerprint(F.col("text")).alias("fp")
     )
     return full.join(min_sh, "doc_id")
 

@@ -25,11 +25,13 @@ that drives them from a stream:
                           remap consolidated) — the corpus-wide cluster
                           table is never rebuilt NOR rewritten
           one ATOMIC ``TableGroup`` commit of {fingerprints, band_keys,
-          clusters_base, label_remap, decisions} — a crash anywhere leaves the previous
-          snapshot fully visible and the replayed micro-batch is detected
-          by its batch_id in the group lineage (exactly-once on top of
-          Structured Streaming's at-least-once foreachBatch contract, the
-          standard idempotent-sink pattern).
+          clusters_base, label_remap, decisions} — a crash anywhere leaves
+          the previous snapshot fully visible, and a replayed micro-batch
+          empties out against the append-only base (content-keyed
+          idempotence: exactly-once on top of Structured Streaming's
+          at-least-once foreachBatch contract, robust even to a streaming
+          checkpoint reset that restarts batch ids over live state —
+          see ``apply_dedup_batch``).
 
 Why state lives in ACID tables, NOT the streaming state store: dedup state
 is corpus-sized (one fp + 4 band keys per EVER-ingested doc). A state store
@@ -123,9 +125,31 @@ VERDICT_NEAR = "near_dup_suspect"
 VERDICT_UNIQUE = "unique"
 
 
-def _fp(col):
-    # Same normalized-content fingerprint as exact_groups / incremental_exact.
-    return F.md5(F.lower(F.trim(col)))
+# THE shared normalized-content fingerprint (single definition — the stored
+# fp index is probe-consistent only under byte-identical normalization at
+# every write/probe site; see content_fingerprint's docstring).
+_fp = fdedup.content_fingerprint
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return {
+        int(jrdd.id())
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values()
+    }
+
+
+def _free_new_rdds(spark: SparkSession, before: set[int]) -> None:
+    """Free every RDD pinned since ``before`` was snapshotted. Each batch
+    localCheckpoints ~4 batch-sized frames (plus the CC labels inside
+    ``merge_clusters_delta``); without this a long-running stream leaks one
+    pinned generation per micro-batch until executor storage fills and an
+    evicted localCheckpoint block kills the stream. Scoped by RDD id so
+    pre-existing pins (e.g. a seam cache in the same session) survive; the
+    fold is the only concurrent checkpoint producer by contract
+    (``_CC_LOCK`` already serializes the CC internals)."""
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        if int(jrdd.id()) not in before:
+            jrdd.unpersist()
 
 
 def batch_band_keys(
@@ -196,16 +220,35 @@ def apply_dedup_batch(
     stop_shingles: DataFrame | None = None,
 ) -> int | None:
     """Fold one micro-batch of documents into the dedup state group.
-    Returns the new group snapshot id, or None when the batch was empty or
-    already applied (foreachBatch replay after a failure — Structured
-    Streaming re-delivers the same rows under the same batch_id, so
-    skipping IS exactly-once). Usable directly for a non-streaming rolling
-    batch job; ``stream_dedup`` wires it as the foreachBatch sink."""
+    Returns the new group snapshot id, or None when the batch added
+    nothing. Usable directly for a non-streaming rolling batch job;
+    ``stream_dedup`` wires it as the foreachBatch sink.
+
+    Exactly-once rests on CONTENT, not on batch ids: every ingested doc is
+    in the append-only base, the anti-join below drops already-folded docs,
+    and the group commit is atomic — so a foreachBatch replay after a crash
+    (same rows re-delivered) empties out and returns None, while a batch
+    delivered after a checkpoint reset (batch ids restart at 0 over the
+    same state group) still folds in exactly its never-seen docs. An
+    id-based "already applied" guard would silently discard that second
+    case; batch_id is recorded in lineage as audit metadata only. All
+    frames localCheckpoint'd while folding are freed before returning —
+    a long-running stream pins nothing across batches."""
+    pinned_before = _persistent_rdd_ids(spark)
+    try:
+        return _fold_batch(spark, group, batch, batch_id, stop_shingles)
+    finally:
+        _free_new_rdds(spark, pinned_before)
+
+
+def _fold_batch(
+    spark: SparkSession,
+    group: TableGroup,
+    batch: DataFrame,
+    batch_id: int,
+    stop_shingles: DataFrame | None = None,
+) -> int | None:
     snap = group.current_snapshot()
-    if snap is not None:
-        applied = group.lineage().get("batch_id")
-        if applied is not None and int(applied) >= int(batch_id):
-            return None
 
     # At-least-once upstream: collapse intra-batch re-deliveries, drop docs
     # already folded in by an earlier batch (ids-only anti-join against the
@@ -235,12 +278,21 @@ def apply_dedup_batch(
     if n_docs == 0:
         return None
 
-    # ---- exact probe (fingerprints only; text never crosses a shuffle)
+    # ---- exact probe (fingerprints only; text never crosses a shuffle).
+    # ONE corpus-index scan: the stored fp table holds one row per fp (only
+    # fresh canonicals are ever appended), so a single LEFT join both finds
+    # the stored canonical (hit) and marks content-fresh docs (miss); the
+    # checkpoint pins the batch-sized probe result so the member writes and
+    # the decisions job never re-run the corpus scan (the threaded commit
+    # runs separate jobs — ReuseExchange can't dedup across them).
     bfp = batch.select("doc_id", _fp(F.col("text")).alias("fp"))
-    corpus_hits = bfp.join(
-        fp_tbl.select("fp", F.col("doc_id").alias("dup_of")), "fp"
-    ).select("doc_id", "dup_of")
-    fresh = bfp.join(fp_tbl.select("fp"), "fp", "left_anti")
+    probed = bfp.join(
+        fp_tbl.select("fp", F.col("doc_id").alias("dup_of")), "fp", "left"
+    ).localCheckpoint()
+    corpus_hits = probed.where(F.col("dup_of").isNotNull()).select(
+        "doc_id", "dup_of"
+    )
+    fresh = probed.where(F.col("dup_of").isNull()).select("doc_id", "fp")
     canon = fresh.groupBy("fp").agg(F.min("doc_id").alias("canon"))
     fresh_canon = fresh.join(canon, "fp").where(
         F.col("doc_id") == F.col("canon")
@@ -281,7 +333,9 @@ def apply_dedup_batch(
         )
         .distinct()
     )
-    near_edges = vs_corpus.unionByName(vs_batch)
+    # Checkpoint = one stored band-key-index scan per batch (the edge set
+    # feeds both the CC materialization and the decisions job).
+    near_edges = vs_corpus.unionByName(vs_batch).localCheckpoint()
 
     # ---- incremental cluster maintenance: persist the DELTA, not a
     # rewritten corpus table (batch-sized CC; O(batch + merges) rows

@@ -471,7 +471,12 @@ class TableGroup:
             }
 
         items = list(tables.items())
-        if len(items) == 1:
+        if not items:
+            # Carry-forward-only commit (e.g. compact() found every named
+            # member empty): still publish a snapshot, like the serial loop
+            # this threaded form replaced — ThreadPoolExecutor(0) would raise.
+            entries: dict[str, dict] = {}
+        elif len(items) == 1:
             entries = dict([_write(items[0])])
         else:
             with ThreadPoolExecutor(max_workers=len(items)) as pool:

@@ -241,6 +241,49 @@ def test_stream_dedup_restart_resumes_from_checkpoint(spark, tmp_path):
     )
 
 
+def test_checkpoint_reset_does_not_drop_new_docs(spark, tmp_path):
+    """Operator resets the streaming checkpoint (required e.g. when source
+    options change) while the state group persists: batch ids restart at 0
+    and the re-listing source re-delivers old docs MIXED with never-seen
+    ones. The fold must ingest exactly the new docs — an id-based replay
+    guard would silently drop the whole batch."""
+    pdf = _corpus(40, seed=21)
+    group = TableGroup(str(tmp_path / "state"))
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:20]), 0)
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[20:30]), 1)
+    assert group.lineage()["batch_id"] == 1
+
+    # fresh checkpoint: "batch 0" now carries everything the source lists —
+    # 30 already-folded docs plus 10 never-seen ones
+    snap = apply_dedup_batch(spark, group, _docs_df(spark, pdf), 0)
+    assert snap is not None  # NOT skipped
+    base = group.read_member(spark, CLUSTERS_BASE).toPandas()
+    assert len(base) == 40 and base.doc_id.is_unique
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, group), _full_recompute(spark, pdf),
+        check_dtype=False,
+    )
+    # true replay of that batch still empties out (content idempotence)
+    assert apply_dedup_batch(spark, group, _docs_df(spark, pdf), 0) is None
+
+
+def test_fold_frees_all_pinned_rdds(spark, tmp_path):
+    """A long-running service folds thousands of micro-batches; every
+    localCheckpoint generation pinned while folding (batch, probe, edges,
+    CC labels) must be freed before apply_dedup_batch returns, or executor
+    storage fills and an evicted checkpoint block kills the stream."""
+    from log_aggregator_spark.streaming.stream_dedup import (
+        _persistent_rdd_ids,
+    )
+
+    pdf = _corpus(30, seed=33)
+    group = TableGroup(str(tmp_path / "state"))
+    before = _persistent_rdd_ids(spark)
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:15]), 0)
+    apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[15:]), 1)
+    assert _persistent_rdd_ids(spark) == before
+
+
 def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
     """Any ordered partition of any corpus into micro-batches folds to the
     same cluster table as the one-shot recompute — the invariant the whole

@@ -91,3 +91,24 @@ def test_group_compact_and_expire(spark, tmp_path):
     assert res["expired"] == [1, 2, 3]
     assert sorted(r["x"] for r in g.table("routed").read(spark).collect()) == list(range(30))
     assert g.table("ckpt").read(spark).count() == 5
+
+
+def test_group_empty_commit_is_carry_forward(spark, tmp_path):
+    """commit({}) publishes a snapshot with every member carried forward —
+    reachable via compact() when every named member is empty (e.g. right
+    after compact_clusters emptied the label remap); the threaded write
+    pool must not choke on zero items."""
+    g = TableGroup(str(tmp_path / "g"))
+    g.commit({
+        "labels": (spark.range(5).select(F.col("id").alias("x")), "append"),
+        "remap": (
+            spark.createDataFrame([], schema="old_label long, new_label long"),
+            "overwrite",
+        ),
+    })
+    snap = g.compact(spark, names=["remap"])  # empty member -> zero writes
+    assert snap == 2
+    assert g._manifest(2)["tables"]["labels"]["files"] == g._manifest(1)["tables"]["labels"]["files"]
+    assert g.read_member(spark, "remap").count() == 0
+    assert g.commit({}) == 3  # pure carry-forward commit
+    assert g.table("labels").read(spark).count() == 5
