@@ -217,10 +217,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    return fdedup.minhash_candidate_pairs(
-        _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+def _mh_pairs(spark, sf_dir):
+    """The materialized MinHash candidate lattice — shared between the pair
+    REPORT query and the clustering's minhash edge family, so the band
+    join over the shingle table runs once per store (the same
+    store-the-intermediate seam as ``_shingles``/``_simhash``)."""
+    return _memo(
+        spark, sf_dir, "mh_pairs",
+        lambda: fdedup.minhash_candidate_pairs(
+            _docs(spark, sf_dir), shingles_df=_shingles(spark, sf_dir)
+        ),
     )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return _mh_pairs(spark, sf_dir)
 
 
 def _simhash(spark, sf_dir):
@@ -296,6 +307,7 @@ def _clusters(spark, sf_dir):
             _docs(spark, sf_dir),
             shingles_df=_shingles(spark, sf_dir),
             simhash_df=_simhash(spark, sf_dir),
+            minhash_pairs_df=_mh_pairs(spark, sf_dir),
         ),
     )
 

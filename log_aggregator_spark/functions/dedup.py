@@ -399,6 +399,7 @@ def all_near_dup_pairs(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
     simhash_df: DataFrame | None = None,
+    minhash_pairs_df: DataFrame | None = None,
     edge_families: tuple[str, ...] = ("exact", "minhash", "simhash"),
 ) -> DataFrame:
     """The union edge graph the clustering runs on: exact ∪ MinHash-LSH ∪
@@ -407,8 +408,11 @@ def all_near_dup_pairs(
     equivalent star+rep edges, O(n) rows at any fingerprint skew — never
     the pair REPORT (which enumerates hot-fingerprint cliques by
     definition). The expensive inputs accept materialized tables
-    (``shingles_df``, ``simhash_df``) — the same store-the-intermediate
-    seam as clusters/survivors.
+    (``shingles_df``, ``simhash_df``, ``minhash_pairs_df``) — the same
+    store-the-intermediate seam as clusters/survivors: a store that has
+    already materialized the MinHash candidate lattice (the
+    ``minhash_candidate_pairs`` output, its own gated query) hands it in
+    and the clustering never re-runs the band join.
 
     ``edge_families`` is the deployment policy knob: which pair generators
     contribute edges. The default (all three) matches the gated oracle
@@ -425,10 +429,12 @@ def all_near_dup_pairs(
     if "exact" in edge_families:
         parts.append(exact_pairs(documents))
     if "minhash" in edge_families:
-        parts.append(
-            minhash_candidate_pairs(documents, shingles_df=shingles_df)
-            .select("doc_a", "doc_b")
+        mh = (
+            minhash_pairs_df
+            if minhash_pairs_df is not None
+            else minhash_candidate_pairs(documents, shingles_df=shingles_df)
         )
+        parts.append(mh.select("doc_a", "doc_b"))
     if "simhash" in edge_families:
         parts.append(simhash_value_edges(documents, simhash_df=simhash_df))
     out = parts[0]
@@ -735,6 +741,7 @@ def duplicate_clusters(
     documents: DataFrame,
     shingles_df: DataFrame | None = None,
     simhash_df: DataFrame | None = None,
+    minhash_pairs_df: DataFrame | None = None,
     edge_families: tuple[str, ...] = ("exact", "minhash", "simhash"),
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) over the full union pair graph —
@@ -755,6 +762,7 @@ def duplicate_clusters(
             documents,
             shingles_df=shingles_df,
             simhash_df=simhash_df,
+            minhash_pairs_df=minhash_pairs_df,
             edge_families=edge_families,
         ),
         documents.select("doc_id"),
