@@ -218,6 +218,7 @@ def apply_dedup_batch(
     batch: DataFrame,
     batch_id: int,
     stop_shingles: DataFrame | None = None,
+    auto_compact_rows: int | None = None,
 ) -> int | None:
     """Fold one micro-batch of documents into the dedup state group.
     Returns the new group snapshot id, or None when the batch added
@@ -233,10 +234,27 @@ def apply_dedup_batch(
     id-based "already applied" guard would silently discard that second
     case; batch_id is recorded in lineage as audit metadata only. All
     frames localCheckpoint'd while folding are freed before returning —
-    a long-running stream pins nothing across batches."""
+    a long-running stream pins nothing across batches.
+
+    ``auto_compact_rows``: when set, a fold that leaves the consolidated
+    remap larger than this many rows is followed by ``compact_clusters``
+    — the maintenance policy a long-running service needs in-loop, not as
+    an operator runbook step. The compaction is its OWN atomic commit
+    after the fold's: a crash between the two leaves the folded snapshot
+    fully visible and merely defers compaction to the next trigger (the
+    threshold check re-fires), so the exactly-once story is untouched.
+    Size the threshold to the remap broadcast budget (rows ≈ 32 B each;
+    the default-off None keeps ad-hoc/batch callers explicit)."""
     pinned_before = _persistent_rdd_ids(spark)
     try:
-        return _fold_batch(spark, group, batch, batch_id, stop_shingles)
+        snap = _fold_batch(spark, group, batch, batch_id, stop_shingles)
+        if (
+            snap is not None
+            and auto_compact_rows is not None
+            and group.read_member(spark, LABEL_REMAP).count() > auto_compact_rows
+        ):
+            compact_clusters(spark, group)
+        return snap
     finally:
         _free_new_rdds(spark, pinned_before)
 
@@ -409,6 +427,7 @@ def stream_dedup(
     max_files_per_trigger: int | None = None,
     stop_shingles: DataFrame | None = None,
     schema: str = DOC_SCHEMA,
+    auto_compact_rows: int | None = None,
 ):
     """DataStreamWriter folding a document stream into the dedup state
     group at ``state_root``. Caller attaches checkpoint + trigger:
@@ -418,7 +437,8 @@ def stream_dedup(
             .trigger(availableNow=True).start()
 
     Rate limiting via ``maxFilesPerTrigger`` bounds per-batch probe size
-    exactly like the pipeline stream (S16 analog)."""
+    exactly like the pipeline stream (S16 analog). ``auto_compact_rows``
+    keeps the label remap bounded in-loop (see ``apply_dedup_batch``)."""
     group = TableGroup(state_root)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -426,6 +446,9 @@ def stream_dedup(
     docs = reader.parquet(docs_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        apply_dedup_batch(spark, group, batch_df, batch_id, stop_shingles)
+        apply_dedup_batch(
+            spark, group, batch_df, batch_id, stop_shingles,
+            auto_compact_rows=auto_compact_rows,
+        )
 
     return docs.writeStream.foreachBatch(_sink)

@@ -302,3 +302,52 @@ def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
             check_dtype=False,
             obj=f"seed={seed} bounds={bounds}",
         )
+
+
+def test_auto_compact_keeps_remap_bounded_and_view_identical(spark, tmp_path):
+    """In-loop maintenance policy: with auto_compact_rows=0 every fold that
+    leaves merge events behind is followed by an atomic compaction, so the
+    remap never outlives its trigger and the resolved view stays identical
+    to the un-compacted fold and to the one-shot recompute."""
+    # Deterministic merge events: batch 1 establishes canonicals 10/11,
+    # batch 2 delivers SMALLER ids carrying the same content — the exact
+    # probe edges (0,10) and (5,11) relabel both stored clusters, which is
+    # precisely the remap-growing case the policy exists for.
+    t1 = " ".join(_WORDS[:12])
+    t2 = " ".join(_WORDS[12:24])
+    t3 = " ".join(_WORDS[24:36])
+    rows = [
+        (10, t1), (11, t2), (12, t3),          # batch 1
+        (0, t1), (5, t2), (13, " ".join(_WORDS[3:15])),  # batch 2
+    ]
+    pdf = pd.DataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    plain = TableGroup(str(tmp_path / "plain"))
+    auto = TableGroup(str(tmp_path / "auto"))
+    for b, (lo, hi) in enumerate([(0, 3), (3, 6)]):
+        batch = pdf.iloc[lo:hi]
+        apply_dedup_batch(spark, plain, _docs_df(spark, batch), b)
+        apply_dedup_batch(
+            spark, auto, _docs_df(spark, batch), b, auto_compact_rows=0
+        )
+        assert auto.read_member(spark, LABEL_REMAP).count() == 0
+    assert plain.read_member(spark, LABEL_REMAP).count() >= 2  # policy did work
+    want = _full_recompute(spark, pdf)
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, auto), want, check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        _stored_clusters(spark, plain), want, check_dtype=False
+    )
+    # replay under the policy still empties out (no compaction either:
+    # a None fold never triggers one, so the snapshot chain is untouched)
+    snap = auto.current_snapshot()
+    assert (
+        apply_dedup_batch(
+            spark, auto, _docs_df(spark, pdf.iloc[:3]), 0, auto_compact_rows=0
+        )
+        is None
+    )
+    assert auto.current_snapshot() == snap
