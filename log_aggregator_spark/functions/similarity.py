@@ -159,12 +159,24 @@ def _vecs(embeddings: DataFrame, drop_zero: bool = True) -> DataFrame:
     if not drop_zero:
         return out
     # predicate ≡ the oracle's list_dot_product(v, v) > 0 (exact integer
-    # arithmetic: n2 = 0 ⟺ all components 0; -0.0 == 0.0 in both engines;
-    # a NaN component keeps the row in both). Stated as array_remove/size
-    # — codegen expressions — instead of n2 > 0, which would force the
-    # interpreted HOF fold on every row even in queries that prune n2
-    # (the signature/index builds, the one full-corpus pass to keep cheap).
-    return out.where(F.size(F.array_remove(F.col("v"), 0.0)) > 0)
+    # arithmetic: n2 = 0 ⟺ all components 0; -0.0 == 0.0 in both engines).
+    # Stated as array_remove/size — codegen expressions — instead of
+    # n2 > 0, which would force the interpreted HOF fold on every row even
+    # in queries that prune n2 (the signature/index builds, the one
+    # full-corpus pass to keep cheap).
+    #
+    # Non-finite components are excluded at the same boundary: the
+    # engines genuinely disagree on them (numpy NaN >= 0 is False while
+    # Spark and DuckDB order NaN greatest, so one NaN vector would give
+    # the Arrow sign-bit kernels bucket 0 where the JVM/DuckDB twins give
+    # 255, silently desynchronizing the stored index from the oracle; an
+    # Inf survives the comparison consistently but trips _check_exact in
+    # the Arrow kernels only — raise-vs-run is still a divergence). A
+    # NULL component or a NULL vector makes `exists` NULL → row dropped.
+    finite = ~F.exists(
+        "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return out.where(finite & (F.size(F.array_remove(F.col("v"), 0.0)) > 0))
 
 
 def _np_rows(series: pd.Series) -> np.ndarray:
@@ -263,32 +275,57 @@ def _corpus_matrix(
             )
     else:
         pdf = sel.toPandas()
-    pdf = pdf.sort_values("vec_id")
+    # whole-NULL vectors arrive as None and would break the stack; NULL
+    # components arrive as NaN and fall to the finite mask below — the
+    # same rows _vecs drops, handled numpy-side because the brute path
+    # takes raw embeddings
+    pdf = pdf[pdf["embedding"].notna()].sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     q = np.rint(_np_rows(pdf["embedding"]) * QUANT)
-    _check_exact(q, float(np.abs(q).max()) if q.size else 0.0)
     n2 = np.einsum("ij,ij->i", q, q)
-    nz = n2 > 0  # cosine undefined for zero-norm vectors — the _vecs rule
-    return ids[nz], q[nz], n2[nz]
+    # the _vecs rule, numpy-side: drop zero-norm (cosine undefined) and
+    # non-finite vectors. isfinite must be explicit — a NaN n2 fails
+    # `> 0` here but passes it in Spark/DuckDB (both order NaN greatest),
+    # and an Inf n2 passes everywhere while poisoning the matmul — and it
+    # must run BEFORE _check_exact, whose abs-max would see the Inf.
+    nz = np.isfinite(n2) & (n2 > 0)
+    ids, q, n2 = ids[nz], q[nz], n2[nz]
+    _check_exact(q, float(np.abs(q).max()) if q.size else 0.0)
+    return ids, q, n2
 
 
-def _sim_block(
+# sim-matrix element budget per slice: 2^22 float64 = 32 MB for `sim`
+# (+ the same transiently for `dots`). At the 100k-row guard boundary
+# that is ~41 query rows per slice; on the 2k-vector gate fixture a whole
+# 10k-row Arrow batch fits in one slice, so small corpora pay nothing.
+_SIM_BLOCK_ELEMS = 1 << 22
+
+
+def _sim_slices(
     pdf: pd.DataFrame, ids: np.ndarray, qc: np.ndarray, n2c: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """(query_ids, sim matrix vs the whole corpus sample) for one Arrow
-    batch — the single BLAS matmul all brute queries share. Zero-norm
-    query rows are dropped (the _vecs rule) and the 2^53 exactness guard
-    covers BOTH matmul operands — the corpus-side check alone would let an
-    oversized query vector silently break bit-equality."""
+):
+    """Yield (query_ids, sim matrix vs the whole corpus sample) in
+    memory-bounded query slices — the BLAS matmul all brute queries
+    share. One unsliced Arrow batch × a guard-allowed corpus would be a
+    multi-GB dense matrix (10k × 100k × 8 B ≈ 8 GB, twice with the dots
+    temporary), so slices are sized to _SIM_BLOCK_ELEMS. Zero-norm and
+    non-finite query rows are dropped (the _vecs rule, same mask as
+    _corpus_matrix) and the 2^53 exactness guard covers BOTH matmul
+    operands — the corpus-side check alone would let an oversized query
+    vector silently break bit-equality."""
+    pdf = pdf[pdf["embedding"].notna()]  # _corpus_matrix's None rule
     qids = pdf["vec_id"].to_numpy(dtype=np.int64)
     qq = np.rint(_np_rows(pdf["embedding"]) * QUANT)
     n2q = np.einsum("ij,ij->i", qq, qq)
-    nz = n2q > 0
+    nz = np.isfinite(n2q) & (n2q > 0)
     qids, qq, n2q = qids[nz], qq[nz], n2q[nz]
     _check_exact(qq, float(np.abs(qc).max()) if qc.size else 0.0)
-    dots = qq @ qc.T                                     # exact
-    sim = dots / np.sqrt(np.outer(n2q, n2c))
-    return qids, sim
+    step = max(1, _SIM_BLOCK_ELEMS // max(1, len(ids)))
+    for lo in range(0, len(qids), step):
+        hi = lo + step
+        dots = qq[lo:hi] @ qc.T                          # exact
+        sim = dots / np.sqrt(np.outer(n2q[lo:hi], n2c))
+        yield qids[lo:hi], sim
 
 
 def brute_topk(
@@ -315,30 +352,36 @@ def brute_topk(
         for pdf in batches:
             if not len(pdf) or not len(ids):  # empty corpus → empty result
                 continue
-            qids, sim = _sim_block(pdf, ids, qc, n2c)
-            # mask self-pairs (query may or may not be in the corpus)
-            pos = np.searchsorted(ids, qids)
-            hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == qids)
-            sim[np.nonzero(hit)[0], pos[hit]] = -np.inf
-            kk = min(k, sim.shape[1])
-            # stable argsort on -sim: ties keep column order = id ASC —
-            # exactly ORDER BY sim DESC, nb_id (the SQL twin's rule)
-            idx = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
-            top = np.take_along_axis(sim, idx, axis=1)
-            nrow = len(qids)
-            out_vec = np.repeat(qids, kk)
-            out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int64), nrow)
-            out_nb = ids[idx].ravel()
-            flat = top.ravel()
-            keep = np.isfinite(flat)  # drops the masked self when kk == n
-            yield pd.DataFrame(
-                {
-                    "vec_id": out_vec[keep],
-                    "rank": out_rank[keep],
-                    "neighbor_id": out_nb[keep],
-                    "sim_x1m": np.floor(flat[keep] * 1e6).astype(np.int64),
-                }
-            )
+            for qids, sim in _sim_slices(pdf, ids, qc, n2c):
+                # mask self-pairs (query may or may not be in the corpus)
+                pos = np.searchsorted(ids, qids)
+                hit = (pos < len(ids)) & (
+                    ids[np.minimum(pos, len(ids) - 1)] == qids
+                )
+                sim[np.nonzero(hit)[0], pos[hit]] = -np.inf
+                kk = min(k, sim.shape[1])
+                # stable argsort on -sim: ties keep column order = id ASC
+                # — exactly ORDER BY sim DESC, nb_id (the SQL twin's rule)
+                idx = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+                top = np.take_along_axis(sim, idx, axis=1)
+                nrow = len(qids)
+                out_vec = np.repeat(qids, kk)
+                out_rank = np.tile(
+                    np.arange(1, kk + 1, dtype=np.int64), nrow
+                )
+                out_nb = ids[idx].ravel()
+                flat = top.ravel()
+                keep = np.isfinite(flat)  # drops masked self when kk == n
+                yield pd.DataFrame(
+                    {
+                        "vec_id": out_vec[keep],
+                        "rank": out_rank[keep],
+                        "neighbor_id": out_nb[keep],
+                        "sim_x1m": np.floor(flat[keep] * 1e6).astype(
+                            np.int64
+                        ),
+                    }
+                )
 
     return left.mapInPandas(
         gen, "vec_id long, rank long, neighbor_id long, sim_x1m long"
@@ -360,16 +403,18 @@ def cosine_near_dup(
         for pdf in batches:
             if not len(pdf) or not len(ids):  # empty corpus → empty result
                 continue
-            qids, sim = _sim_block(pdf, ids, qc, n2c)
-            cond = (sim >= tau) & (qids[:, None] < ids[None, :])
-            r, c = np.nonzero(cond)
-            yield pd.DataFrame(
-                {
-                    "vec_a": qids[r],
-                    "vec_b": ids[c],
-                    "sim_x1m": np.floor(sim[r, c] * 1e6).astype(np.int64),
-                }
-            )
+            for qids, sim in _sim_slices(pdf, ids, qc, n2c):
+                cond = (sim >= tau) & (qids[:, None] < ids[None, :])
+                r, c = np.nonzero(cond)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": qids[r],
+                        "vec_b": ids[c],
+                        "sim_x1m": np.floor(sim[r, c] * 1e6).astype(
+                            np.int64
+                        ),
+                    }
+                )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         gen, "vec_a long, vec_b long, sim_x1m long"

@@ -768,12 +768,28 @@ _QVEC = (
     f"x -> round_even(x * {_sim.QUANT}, 0))"
 )
 
-# the quantized-vector CTE with the _vecs zero-norm exclusion (cosine is
-# undefined for zero vectors; similarity._vecs drops them at the same
-# boundary — sim_norm_stats is the one query that deliberately keeps them)
+# the quantized-vector CTE with the _vecs exclusions (similarity._vecs
+# drops the same rows at the same boundary — sim_norm_stats is the one
+# query that deliberately keeps zero vectors):
+#   - zero-norm (cosine undefined);
+#   - any NULL or non-finite component (the engines genuinely disagree on
+#     NaN ordering — numpy NaN >= 0 is False while Spark/DuckDB order NaN
+#     greatest — so such rows must die before any kernel sees them).
+# NULL components are scrubbed to NaN INSIDE the quantize transform, not
+# filtered beside the dot product: DuckDB's list_dot_product hard-errors
+# on NULL elements and the vectorized executor evaluates WHERE conjuncts
+# (and even CASE branches) on all rows, so a sibling predicate cannot
+# guard it. Post-scrub the finite filter removes both, in any evaluation
+# order, and a whole-NULL vector gives a NULL dot -> row dropped.
+_QVEC_SCRUB = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> round_even(coalesce(x, 'NaN'::DOUBLE) * {_sim.QUANT}, 0))"
+)
 _D_NZ = (
-    f"d AS (SELECT vec_id, v FROM (SELECT vec_id, {_QVEC} AS v FROM embeddings)\n"
-    "       WHERE list_dot_product(v, v) > 0)"
+    "d AS (SELECT vec_id, v FROM "
+    f"(SELECT vec_id, {_QVEC_SCRUB} AS v FROM embeddings)\n"
+    "       WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0\n"
+    "         AND list_dot_product(v, v) > 0)"
 )
 
 _SIM_PRELUDE = f"""
