@@ -168,6 +168,7 @@ def run_dedup_job(
     from pyspark.sql import functions as F
 
     from log_aggregator_spark.functions import dedup as fdedup
+    from log_aggregator_spark.session import unpersist_rdds
 
     docs = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
@@ -192,8 +193,7 @@ def run_dedup_job(
     # GC, which lags). Without this, warm-up + repeated measured runs
     # accumulate storage and each run is slower than the last — measured
     # [160.9, 194.0] at local[8] — so the min-of-N discipline breaks.
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+    unpersist_rdds(spark)
     return {
         "sec": t2 - t0,
         "pairs_sec": round(t1 - t0, 3),
@@ -221,6 +221,7 @@ def run_stream_dedup_job(
 
     from pyspark.sql import functions as F
 
+    from log_aggregator_spark.session import unpersist_rdds
     from log_aggregator_spark.streaming.stream_dedup import (
         read_clusters, stream_dedup,
     )
@@ -255,8 +256,7 @@ def run_stream_dedup_job(
         .collect()[0]
     )
     n_remap = group.read_member(spark, "label_remap").count()
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+    unpersist_rdds(spark)
     return {
         "sec": t1 - t0,
         "n_batches": int(group.current_snapshot() or 0),
@@ -505,57 +505,65 @@ def main_default(args) -> None:
     spark.stop()
 
 
-def _run_pinned(cores: int, args, lc_executors: int = 0) -> dict:
-    """One bench subprocess restricted to exactly ``cores`` CPUs.
+def _pinned_subprocess(
+    mode_args: list[str], pin_cores: int, workdir: str, prefix: str, tag: str
+) -> dict:
+    """Launch one pinned bench subprocess and read back its JSON result —
+    THE shared launch recipe for every scaling pair (e2e pipeline, batch
+    dedup, streaming dedup).
 
     ``taskset`` pins the WHOLE process tree (JVM GC/JIT threads, Python
-    workers, page-cache readahead) to N CPUs — without it a local[N] run
-    borrows the other 32-N cores via JVM service threads and the N-vs-4N
-    comparison stops modeling an N-core cluster. For executor mode
-    (``lc_executors``) the pin budget is 4 cores per executor + 1 for the
-    driver (a real cluster's driver node is likewise outside the executor
-    allocation)."""
-    tag = f"exec_{lc_executors}" if lc_executors else str(cores)
-    os.makedirs(args.workdir, exist_ok=True)
-    json_out = os.path.join(args.workdir, f"scaling_{tag}.json")
-    cmd = [
-        sys.executable, __file__,
-        "--multiplier", str(args.multiplier),
-        "--synth-docs", str(args.synth_docs),
-        "--workdir", args.workdir,
-        "--skip-queries",
-        "--json-out", json_out,
-    ]
-    # forward the memory-shape knobs — an 8M-doc run at the 32-partition
-    # default OOMs a 6g executor (partitions must shrink to fit the heap)
-    if args.shuffle_partitions:
-        cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
-    if lc_executors:
-        cmd += ["--lc-executors", str(lc_executors),
-                "--lc-mem-mb", str(args.lc_mem_mb)]
-        pin_cores = 4 * lc_executors + 1
-    else:
-        cmd += ["--cores", str(cores)]
-        pin_cores = cores
+    workers, page-cache readahead) to ``pin_cores`` CPUs — without it a
+    local[N] run borrows the other 32-N cores via JVM service threads and
+    the N-vs-4N comparison stops modeling an N-core cluster. Same
+    (generous) heap at every level: local mode packs all tasks into one
+    JVM, and an 8g default heap makes the high-core run GC-bound — a
+    single-box artifact, not a cluster property (executors have their own
+    heaps). One retry absorbs the rare transient python-worker crash at
+    high parallelism."""
+    os.makedirs(workdir, exist_ok=True)
+    json_out = os.path.join(workdir, f"{prefix}_{tag}.json")
+    cmd = [sys.executable, __file__] + mode_args + ["--json-out", json_out]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
     env = dict(os.environ)
-    # same (generous) heap at both levels: local mode packs all tasks into
-    # one JVM, and an 8g default heap makes the high-core run GC-bound —
-    # a single-box artifact, not a cluster property (executors have their
-    # own heaps).
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    log = os.path.join(args.workdir, f"scaling_{tag}.log")
+    log = os.path.join(workdir, f"{prefix}_{tag}.log")
     for attempt in (1, 2):
         with open(log, "w") as lf:
             r = subprocess.run(cmd, env=env, stdout=lf, stderr=subprocess.STDOUT)
         if r.returncode == 0:
             break
         if attempt == 2:
-            raise RuntimeError(f"bench subprocess failed twice; see {log}")
-        # rare transient python-worker crash at high parallelism — retry once
+            raise RuntimeError(f"{prefix} subprocess failed twice; see {log}")
     with open(json_out) as f:
         return json.load(f)
+
+
+def _run_pinned(cores: int, args, lc_executors: int = 0) -> dict:
+    """One e2e bench subprocess restricted to exactly ``cores`` CPUs. For
+    executor mode (``lc_executors``) the pin budget is 4 cores per
+    executor + 1 for the driver (a real cluster's driver node is likewise
+    outside the executor allocation)."""
+    tag = f"exec_{lc_executors}" if lc_executors else str(cores)
+    mode = [
+        "--multiplier", str(args.multiplier),
+        "--synth-docs", str(args.synth_docs),
+        "--workdir", args.workdir,
+        "--skip-queries",
+    ]
+    # forward the memory-shape knobs — an 8M-doc run at the 32-partition
+    # default OOMs a 6g executor (partitions must shrink to fit the heap)
+    if args.shuffle_partitions:
+        mode += ["--shuffle-partitions", str(args.shuffle_partitions)]
+    if lc_executors:
+        mode += ["--lc-executors", str(lc_executors),
+                 "--lc-mem-mb", str(args.lc_mem_mb)]
+        pin_cores = 4 * lc_executors + 1
+    else:
+        mode += ["--cores", str(cores)]
+        pin_cores = cores
+    return _pinned_subprocess(mode, pin_cores, args.workdir, "scaling", tag)
 
 
 def main_scaling(args) -> None:
@@ -774,41 +782,23 @@ def main_scaling_stream_dedup(args) -> None:
         n_label, n4_label = f"local[{args.n}]", f"local[{args.n * 4}]"
     results = {}
     for tag, lc_execs, pin_cores in levels:
-        json_out = os.path.join(args.workdir, f"sdedup_scaling_{tag}.json")
-        cmd = [
-            sys.executable, __file__,
+        mode = [
             "--stream-dedup-run",
             "--dedup-docs", str(args.dedup_docs),
             "--dedup-runs", str(args.dedup_runs),
             "--stream-batches", str(args.stream_batches),
             "--workdir", args.workdir,
-            "--json-out", json_out,
         ]
         if lc_execs:
-            cmd += ["--lc-executors", str(lc_execs),
-                    "--lc-mem-mb", str(args.lc_mem_mb)]
+            mode += ["--lc-executors", str(lc_execs),
+                     "--lc-mem-mb", str(args.lc_mem_mb)]
         else:
-            cmd += ["--cores", tag]
+            mode += ["--cores", tag]
         if args.shuffle_partitions:
-            cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
-        env = dict(os.environ)
-        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-        log = os.path.join(args.workdir, f"sdedup_scaling_{tag}.log")
-        for attempt in (1, 2):
-            with open(log, "w") as lf:
-                r = subprocess.run(
-                    cmd, env=env, stdout=lf, stderr=subprocess.STDOUT
-                )
-            if r.returncode == 0:
-                break
-            if attempt == 2:
-                raise RuntimeError(
-                    f"stream-dedup bench subprocess failed twice; see {log}"
-                )
-        with open(json_out) as f:
-            results[tag] = json.load(f)
+            mode += ["--shuffle-partitions", str(args.shuffle_partitions)]
+        results[tag] = _pinned_subprocess(
+            mode, pin_cores, args.workdir, "sdedup_scaling", tag
+        )
     lo, hi = results[levels[0][0]], results[levels[1][0]]
     # correctness control: both levels fold to the identical answer
     for k in ("n_docs", "n_clusters", "checksum", "n_batches"):
@@ -911,46 +901,32 @@ def main_scaling_dedup(args) -> None:
 
 
 def _run_pinned_dedup(cores: int, args, lc_executors: int = 0) -> dict:
-    """Pinned dedup subprocess at exactly ``cores`` CPUs (same taskset
-    discipline as ``_run_pinned``); executor mode pins 4 cores per
+    """Pinned dedup subprocess at exactly ``cores`` CPUs (the
+    ``_pinned_subprocess`` discipline); executor mode pins 4 cores per
     executor + 1 for the driver."""
     tag = f"exec_{lc_executors}" if lc_executors else str(cores)
-    json_out = os.path.join(args.workdir, f"dedup_scaling_{tag}.json")
-    cmd = [
-        sys.executable, __file__,
+    mode = [
         "--dedup-run",
         "--dedup-docs", str(args.dedup_docs),
         "--dedup-runs", str(args.dedup_runs),
         "--workdir", args.workdir,
-        "--json-out", json_out,
     ]
     if args.cc_endgame_cap is not None:
-        cmd += ["--cc-endgame-cap", str(args.cc_endgame_cap)]
+        mode += ["--cc-endgame-cap", str(args.cc_endgame_cap)]
     if args.dedup_edge_families != "exact,minhash":
-        cmd += ["--dedup-edge-families", args.dedup_edge_families]
+        mode += ["--dedup-edge-families", args.dedup_edge_families]
     if lc_executors:
-        cmd += ["--lc-executors", str(lc_executors),
-                "--lc-mem-mb", str(args.lc_mem_mb)]
+        mode += ["--lc-executors", str(lc_executors),
+                 "--lc-mem-mb", str(args.lc_mem_mb)]
         pin_cores = 4 * lc_executors + 1
     else:
-        cmd += ["--cores", str(cores)]
+        mode += ["--cores", str(cores)]
         pin_cores = cores
     if args.shuffle_partitions:
-        cmd += ["--shuffle-partitions", str(args.shuffle_partitions)]
-    if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
-    env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    log = os.path.join(args.workdir, f"dedup_scaling_{tag}.log")
-    for attempt in (1, 2):
-        with open(log, "w") as lf:
-            r = subprocess.run(cmd, env=env, stdout=lf, stderr=subprocess.STDOUT)
-        if r.returncode == 0:
-            break
-        if attempt == 2:
-            raise RuntimeError(f"dedup bench subprocess failed twice; see {log}")
-    with open(json_out) as f:
-        return json.load(f)
+        mode += ["--shuffle-partitions", str(args.shuffle_partitions)]
+    return _pinned_subprocess(
+        mode, pin_cores, args.workdir, "dedup_scaling", tag
+    )
 
 
 def _write_bench_md(summaries: list[dict]) -> None:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from ..session import persistent_rdd_ids, unpersist_rdds
 from .text import _py_words, shingles
 
 # Drop shingles appearing in more than DF_CAP documents before any pair
@@ -578,22 +579,20 @@ def _endgame_finish(
 def _components_unlocked(
     pairs: DataFrame, nodes: DataFrame, endgame_cap: int
 ) -> DataFrame:
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
 
+    # Per-generation bookkeeping via the shared session helpers: free a
+    # superseded generation's checkpoint blocks eagerly. Each round's
+    # localCheckpoint materializes BEFORE the old generation is dropped
+    # (eager=True truncates lineage at materialization), so the old blocks
+    # have no remaining reader. Without this, an R-round CC pins R
+    # generations of edges+labels until driver GC — O(R × corpus)
+    # executor storage on a job whose whole point is iterating.
     def _persistent_ids() -> set:
-        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return persistent_rdd_ids(spark)
 
     def _unpersist(ids: set) -> None:
-        # Free a superseded generation's checkpoint blocks eagerly. Each
-        # round's localCheckpoint materializes BEFORE the old generation is
-        # dropped (eager=True truncates lineage at materialization), so the
-        # old blocks have no remaining reader. Without this, an R-round CC
-        # pins R generations of edges+labels until driver GC — O(R × corpus)
-        # executor storage on a job whose whole point is iterating.
-        jmap = sc._jsc.getPersistentRDDs()
-        for k in list(jmap.keySet().toArray()):
-            if int(k) in ids and jmap.get(k) is not None:
-                jmap.get(k).unpersist()
+        unpersist_rdds(spark, ids)
 
     before = _persistent_ids()
     edges = (

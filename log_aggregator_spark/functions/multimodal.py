@@ -358,13 +358,9 @@ def media_features(documents: DataFrame) -> DataFrame:
 def _mm_band_buckets_pd(v: pd.Series) -> pd.Series:
     """MM_BANDS bucket keys per feature vector — the media instantiation
     of the shared sign-LSH packing kernel (similarity.pack_band_bits)."""
-    from .similarity import pack_band_bits
+    from .similarity import _np_rows, pack_band_bits
 
-    fm = (
-        np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        if len(v)
-        else np.empty((0, MM_FDIM))
-    )
+    fm = _np_rows(v, dim=MM_FDIM)
     out = pack_band_bits(fm, _MM_PLANES_NP, MM_BANDS, MM_BITS_PER_BAND)
     return pd.Series(list(out))
 

@@ -179,11 +179,13 @@ def _vecs(embeddings: DataFrame, drop_zero: bool = True) -> DataFrame:
     return out.where(finite & (F.size(F.array_remove(F.col("v"), 0.0)) > 0))
 
 
-def _np_rows(series: pd.Series) -> np.ndarray:
-    """Stack an Arrow-delivered array column into an (n, DIM) float64
-    matrix (embeddings arrive float32 → float64 is exact)."""
+def _np_rows(series: pd.Series, dim: int = DIM) -> np.ndarray:
+    """Stack an Arrow-delivered array column into an (n, dim) float64
+    matrix (embeddings arrive float32 → float64 is exact). Shared with
+    the media-feature kernels (multimodal), whose vectors are
+    MM_FDIM-wide."""
     if not len(series):
-        return np.empty((0, DIM), dtype=np.float64)
+        return np.empty((0, dim), dtype=np.float64)
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 

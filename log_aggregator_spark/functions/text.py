@@ -61,7 +61,11 @@ def _py_words(t: str | None, lower: bool) -> list[str]:
     """Python twin of ``words(F.lower(text))`` / ``words(text)`` with the
     exact JVM semantics (see module header): trim = ASCII spaces only,
     split on ASCII ``\\s+`` keeping leading/trailing empty fields, null
-    text ≡ empty text."""
+    text ≡ empty text. Lowering parity holds because ``get_spark`` pins
+    the JVM default locale to en-US (session._LOCALE_PIN): Spark's
+    lower() is locale-sensitive on non-ASCII strings while str.lower()
+    is locale-independent, and under en-US they agree on every
+    special-casing edge (Turkish dotted İ, ẞ, final sigma — tested)."""
     t = "" if t is None else t
     if lower:
         t = t.lower()

@@ -20,6 +20,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+_LOCALE_PIN = "-Duser.language=en -Duser.country=US"
+
 
 def get_spark(
     app_name: str = "log_aggregator_spark",
@@ -53,6 +55,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin the JVM default locale: Spark's lower()/upper() fall back to
+        # locale-sensitive String.toLowerCase for non-ASCII strings, so a
+        # Turkish-locale JVM lowers 'I' in a non-ASCII string to dotless
+        # 'ı' while the Python twin kernels (locale-independent
+        # str.lower()) and DuckDB give 'i' — measured divergence on this
+        # exact Spark build. Under en-US the JVM matches Python on every
+        # special-casing edge tested (dotted İ, ẞ, final sigma). Same
+        # determinism class as the UTC session TZ above. Executor JVMs
+        # are separate processes in local-cluster mode, so both get it.
+        .config("spark.driver.extraJavaOptions", _LOCALE_PIN)
+        .config("spark.executor.extraJavaOptions", _LOCALE_PIN)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches: the parse UDF ships only a string column per
         # row — 64k rows ≈ 2.5 MB per batch, and fewer Python round-trips
@@ -76,3 +89,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently pinned in executor storage (cached or
+    localCheckpoint'ed). Snapshot before a checkpoint-producing job, then
+    diff, to scope cleanup to the RDDs that job pinned."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def unpersist_rdds(spark: SparkSession, ids: set[int] | None = None) -> None:
+    """Eagerly unpersist pinned RDDs by id (all of them when ``ids`` is
+    None). ContextCleaner reclaims checkpoint blocks only after Py4J GC,
+    which lags far behind the Spark job — iterative CC, the streaming
+    dedup fold, and back-to-back bench passes all leak pinned generations
+    without an explicit free. THE shared bookkeeping: dedup CC, the
+    streaming fold, and bench.py all call this instead of carrying their
+    own unpersist loops. The ``get(k) is not None`` guard tolerates
+    entries evicted between the key snapshot and the lookup."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in list(jmap.keySet().toArray()):
+        if (ids is None or int(k) in ids) and jmap.get(k) is not None:
+            jmap.get(k).unpersist()

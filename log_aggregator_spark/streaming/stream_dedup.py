@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions import dedup as fdedup
+from ..session import persistent_rdd_ids, unpersist_rdds
 from ..functions.text import shingles
 from ..tableio import TableGroup
 
@@ -131,13 +132,6 @@ VERDICT_UNIQUE = "unique"
 _fp = fdedup.content_fingerprint
 
 
-def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
-    return {
-        int(jrdd.id())
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values()
-    }
-
-
 def _free_new_rdds(spark: SparkSession, before: set[int]) -> None:
     """Free every RDD pinned since ``before`` was snapshotted. Each batch
     localCheckpoints ~4 batch-sized frames (plus the CC labels inside
@@ -147,9 +141,7 @@ def _free_new_rdds(spark: SparkSession, before: set[int]) -> None:
     pre-existing pins (e.g. a seam cache in the same session) survive; the
     fold is the only concurrent checkpoint producer by contract
     (``_CC_LOCK`` already serializes the CC internals)."""
-    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        if int(jrdd.id()) not in before:
-            jrdd.unpersist()
+    unpersist_rdds(spark, persistent_rdd_ids(spark) - before)
 
 
 def batch_band_keys(
@@ -245,7 +237,7 @@ def apply_dedup_batch(
     threshold check re-fires), so the exactly-once story is untouched.
     Size the threshold to the remap broadcast budget (rows ≈ 32 B each;
     the default-off None keeps ad-hoc/batch callers explicit)."""
-    pinned_before = _persistent_rdd_ids(spark)
+    pinned_before = persistent_rdd_ids(spark)
     try:
         snap = _fold_batch(spark, group, batch, batch_id, stop_shingles)
         if (

@@ -29,6 +29,11 @@ EDGE_TEXTS = [
     ("d10", "a a a a a a a a a a"),
     ("d11", "x " * 500 + "y"),
     ("d12", None),
+    # non-ASCII + uppercase I: the locale trap. Spark's lower() is
+    # locale-sensitive for non-ASCII strings (a Turkish-locale JVM gives
+    # dotless 'ı' where Python str.lower() gives 'i'); parity holds only
+    # under the en-US pin get_spark sets (session._LOCALE_PIN).
+    ("d13", "IŞIK İI Kapı ẞ GROSSES ΣΙΓΜΑΣ"),
 ]
 
 
@@ -114,3 +119,17 @@ def test_span_dedup_arrow_equals_jvm_twin(spark):
     ae = fdedup.span_dedup(edges, span_words=2).orderBy("doc_id")
     je = fdedup.span_dedup(edges, span_words=2, impl="jvm").orderBy("doc_id")
     pd.testing.assert_frame_equal(_collect(ae), _collect(je))
+
+
+def test_jvm_locale_pinned(spark):
+    """get_spark must pin the JVM default locale (session._LOCALE_PIN) —
+    the lowercase-parity contract every Python-twin kernel relies on."""
+    loc = spark._jvm.java.util.Locale.getDefault()
+    assert loc.getLanguage() == "en"
+    # and the locale-trap doc actually lowers identically in both engines
+    row = (
+        spark.createDataFrame([("IŞIK İI",)], "t string")
+        .select(F.lower("t").alias("l"))
+        .collect()[0]
+    )
+    assert row.l == "IŞIK İI".lower()

@@ -272,16 +272,14 @@ def test_fold_frees_all_pinned_rdds(spark, tmp_path):
     localCheckpoint generation pinned while folding (batch, probe, edges,
     CC labels) must be freed before apply_dedup_batch returns, or executor
     storage fills and an evicted checkpoint block kills the stream."""
-    from log_aggregator_spark.streaming.stream_dedup import (
-        _persistent_rdd_ids,
-    )
+    from log_aggregator_spark.session import persistent_rdd_ids
 
     pdf = _corpus(30, seed=33)
     group = TableGroup(str(tmp_path / "state"))
-    before = _persistent_rdd_ids(spark)
+    before = persistent_rdd_ids(spark)
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:15]), 0)
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[15:]), 1)
-    assert _persistent_rdd_ids(spark) == before
+    assert persistent_rdd_ids(spark) == before
 
 
 def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
