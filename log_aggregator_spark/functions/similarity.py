@@ -173,10 +173,18 @@ def _vecs(embeddings: DataFrame, drop_zero: bool = True) -> DataFrame:
     # Inf survives the comparison consistently but trips _check_exact in
     # the Arrow kernels only — raise-vs-run is still a divergence). A
     # NULL component or a NULL vector makes `exists` NULL → row dropped.
-    finite = ~F.exists(
-        "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    return out.where(
+        _finite_vec() & (F.size(F.array_remove(F.col("v"), 0.0)) > 0)
     )
-    return out.where(finite & (F.size(F.array_remove(F.col("v"), 0.0)) > 0))
+
+
+def _finite_vec(col: str = "v") -> Column:
+    """TRUE ⟺ every component finite; NULL for a NULL vector or a NULL
+    component (three-valued `exists`) — callers that must classify
+    rather than filter wrap this in coalesce(…, FALSE)."""
+    return ~F.exists(
+        col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
 
 
 def _np_rows(series: pd.Series, dim: int = DIM) -> np.ndarray:
@@ -296,8 +304,10 @@ def _corpus_matrix(
     return ids, q, n2
 
 
-# sim-matrix element budget per slice: 2^22 float64 = 32 MB for `sim`
-# (+ the same transiently for `dots`). At the 100k-row guard boundary
+# sim-matrix element budget per slice: 2^22 float64 = 32 MB. Peak live
+# memory per slice is exactly two such arrays (`dots`, reused in place as
+# the sim matrix, plus the sqrt'd denominator — the kernel sqrts and
+# divides in place to keep it at two). At the 100k-row guard boundary
 # that is ~41 query rows per slice; on the 2k-vector gate fixture a whole
 # 10k-row Arrow batch fits in one slice, so small corpora pay nothing.
 _SIM_BLOCK_ELEMS = 1 << 22
@@ -326,8 +336,12 @@ def _sim_slices(
     for lo in range(0, len(qids), step):
         hi = lo + step
         dots = qq[lo:hi] @ qc.T                          # exact
-        sim = dots / np.sqrt(np.outer(n2q[lo:hi], n2c))
-        yield qids[lo:hi], sim
+        # in place: same IEEE sqrt-then-divide sequence as the SQL twin's
+        # dot/sqrt(n2a*n2b), but peak memory stays at two slice arrays
+        denom = np.outer(n2q[lo:hi], n2c)
+        np.sqrt(denom, out=denom)
+        dots /= denom
+        yield qids[lo:hi], dots
 
 
 def brute_topk(
@@ -1029,15 +1043,28 @@ def norm_stats(embeddings: DataFrame) -> DataFrame:
     Scale shape: one narrow projection (the per-row dot product runs over
     the array column) + a partial-agg groupBy on ≤ a few hundred bucket
     keys. (norm_x10, n_vecs, min_norm_mill, max_norm_mill).
+
+    Degenerate vectors (any NaN/Inf/NULL component, or a NULL vector)
+    land in sentinel bucket norm_x10 = -1 with NULL min/max — the QA
+    query must SURFACE them, and without the explicit classification the
+    engines disagree on what a NaN norm even is (Spark's non-ANSI NaN→
+    long cast gives bucket 0, Inf gives Long.MAX/100, while DuckDB
+    hard-errors casting NaN to BIGINT). Zero vectors stay in bucket 0,
+    as before.
     """
     # drop_zero=False: this is the one query whose JOB is to surface the
-    # zero/collapsed vectors every other similarity operator excludes
+    # zero/collapsed/degenerate vectors every other operator excludes
     v = _vecs(embeddings, drop_zero=False)
-    norm_mill = F.floor(F.sqrt(F.col("n2")) / 1000.0).cast("long")
+    fin = F.coalesce(_finite_vec(), F.lit(False))
+    norm_mill = F.when(
+        fin, F.floor(F.sqrt(F.col("n2")) / 1000.0).cast("long")
+    )
     return (
         v.select(norm_mill.alias("norm_mill"))
         .select(
-            F.expr("norm_mill div 100").alias("norm_x10"),
+            F.coalesce(
+                F.expr("norm_mill div 100"), F.lit(-1).cast("long")
+            ).alias("norm_x10"),
             "norm_mill",
         )
         .groupBy("norm_x10")

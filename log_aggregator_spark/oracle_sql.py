@@ -1686,13 +1686,23 @@ SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM a GROUP BY split, source
 """
 
+# Degenerate vectors (NaN/Inf/NULL component, NULL vector) → sentinel
+# bucket -1, mirroring similarity.norm_stats. Structure matters for
+# DuckDB's vectorized executor: the NULL→NaN scrub (_QVEC_SCRUB) keeps
+# list_dot_product from hard-erroring on NULL elements (it is evaluated
+# on every row regardless of CASE), and the BIGINT cast sits OUTSIDE the
+# CASE so it only ever sees the CASE's finite-or-NULL output — a cast
+# inside the THEN branch would be evaluated on NaN rows and raise.
 SIMILARITY_SQL["sim_norm_stats"] = f"""
-WITH d AS (SELECT {_QVEC} AS v FROM embeddings),
+WITH d AS (SELECT {_QVEC_SCRUB} AS v FROM embeddings),
 m AS (
-  SELECT CAST(floor(sqrt(list_dot_product(v, v)) / 1000) AS BIGINT) AS norm_mill
+  SELECT CAST(CASE WHEN v IS NOT NULL
+                    AND len(list_filter(v, x -> NOT isfinite(x))) = 0
+              THEN floor(sqrt(list_dot_product(v, v)) / 1000)
+              END AS BIGINT) AS norm_mill
   FROM d
 )
-SELECT norm_mill // 100 AS norm_x10,
+SELECT coalesce(norm_mill // 100, -1) AS norm_x10,
        CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(min(norm_mill) AS BIGINT) AS min_norm_mill,
        CAST(max(norm_mill) AS BIGINT) AS max_norm_mill

@@ -87,6 +87,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # The locale pin above is launch-time-only config: getOrCreate
+    # silently keeps a pre-existing JVM's locale, which would void the
+    # lowercase-parity contract (text._py_words) with no error — the
+    # divergence is silent wrong dedup/shingle output, so fail loudly
+    # here instead. (Runtime confs like the session timeZone don't have
+    # this failure mode; JVM system properties do.)
+    lang = spark._jvm.java.util.Locale.getDefault().getLanguage()
+    if lang != "en":
+        raise RuntimeError(
+            f"JVM default locale is '{lang}', not the pinned 'en' — the "
+            "session predates get_spark's locale pin (_LOCALE_PIN), and "
+            "Spark's locale-sensitive lower() would silently diverge "
+            "from the repo's Python twin kernels. Stop the existing "
+            "SparkSession (or launch the JVM with -Duser.language=en) "
+            "before calling get_spark."
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
@@ -99,9 +115,15 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
-def unpersist_rdds(spark: SparkSession, ids: set[int] | None = None) -> None:
-    """Eagerly unpersist pinned RDDs by id (all of them when ``ids`` is
-    None). ContextCleaner reclaims checkpoint blocks only after Py4J GC,
+def unpersist_rdds(
+    spark: SparkSession,
+    ids: set[int] | None = None,
+    exclude: set[int] | None = None,
+) -> None:
+    """Eagerly unpersist pinned RDDs: those in ``ids`` (all when None),
+    minus ``exclude`` — the free-everything-pinned-since-a-snapshot form
+    (``exclude=persistent_rdd_ids()`` taken earlier) in ONE Py4J map
+    fetch. ContextCleaner reclaims checkpoint blocks only after Py4J GC,
     which lags far behind the Spark job — iterative CC, the streaming
     dedup fold, and back-to-back bench passes all leak pinned generations
     without an explicit free. THE shared bookkeeping: dedup CC, the
@@ -110,5 +132,10 @@ def unpersist_rdds(spark: SparkSession, ids: set[int] | None = None) -> None:
     entries evicted between the key snapshot and the lookup."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for k in list(jmap.keySet().toArray()):
-        if (ids is None or int(k) in ids) and jmap.get(k) is not None:
+        ki = int(k)
+        if ids is not None and ki not in ids:
+            continue
+        if exclude is not None and ki in exclude:
+            continue
+        if jmap.get(k) is not None:
             jmap.get(k).unpersist()

@@ -141,7 +141,7 @@ def _free_new_rdds(spark: SparkSession, before: set[int]) -> None:
     pre-existing pins (e.g. a seam cache in the same session) survive; the
     fold is the only concurrent checkpoint producer by contract
     (``_CC_LOCK`` already serializes the CC internals)."""
-    unpersist_rdds(spark, persistent_rdd_ids(spark) - before)
+    unpersist_rdds(spark, exclude=before)
 
 
 def batch_band_keys(

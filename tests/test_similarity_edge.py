@@ -140,3 +140,28 @@ def test_sim_slices_equal_single_matmul(monkeypatch):
     np.testing.assert_array_equal(
         np.vstack([s for _, s in sliced]), full[0][1]
     )
+
+
+def test_norm_stats_parity_on_poisoned(spark, poisoned_parquet):
+    import __spark_entry__ as e
+
+    df = spark.read.parquet(poisoned_parquet)
+
+    def norm(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    got = norm(fsim.norm_stats(df).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{poisoned_parquet}')"
+    )
+    want = norm(con.sql(e.oracle_sql()["sim_norm_stats"]).df())
+    # the five degenerate vectors (NaN, +Inf, -Inf, NULL component,
+    # NULL vector) land in the sentinel bucket, the zero vector in
+    # bucket 0 — identically in both engines
+    sentinel = got[got["norm_x10"] == -1]
+    assert int(sentinel["n_vecs"].iloc[0]) == 5
+    assert sentinel["min_norm_mill"].isna().all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
