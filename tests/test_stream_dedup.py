@@ -279,7 +279,11 @@ def test_fold_frees_all_pinned_rdds(spark, tmp_path):
     before = persistent_rdd_ids(spark)
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:15]), 0)
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[15:]), 1)
-    assert persistent_rdd_ids(spark) == before
+    # Subset, not equality: in a shared-session suite run the JVM
+    # ContextCleaner may reclaim a PRIOR test's abandoned pins between the
+    # two snapshots, shrinking the baseline. The fold's contract is only
+    # that it pins nothing NEW.
+    assert persistent_rdd_ids(spark) - before == set()
 
 
 def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
