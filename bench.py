@@ -129,6 +129,91 @@ def materialize_dedup_synth(spark, n_docs: int, out_dir: str, files: int = 256) 
     return path
 
 
+def materialize_sim_synth(spark, n_vecs: int, out_dir: str, files: int = 256) -> str:
+    """One-time generation of the deterministic near-dup EMBEDDING corpus
+    for the similarity-family scaling run: 4-vector groups share a
+    hash-derived base direction, each member adds a small per-vector
+    perturbation — within-group cosine ≈ 0.9996 (well above the bench
+    tau), cross-group ≈ 0 ± 0.13 (64 iid dims). All structure derives
+    from the vec id via F.hash — no rand(), so every parallelism level
+    and repeat reads the identical corpus."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out_dir, f"sim_synth_{n_vecs}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    gid = F.floor(F.col("id") / 4).cast("long")
+    dims = [
+        F.hash(gid, F.lit(i)).cast("double") / 2147483648.0
+        + (F.hash(F.col("id"), F.lit(i), F.lit(7)).cast("double") / 2147483648.0)
+        * 0.02
+        for i in range(64)
+    ]
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    vecs.repartition(files).write.mode("overwrite").parquet(path)
+    open(done, "w").close()
+    return path
+
+
+def run_sim_job(
+    spark, emb_path: str, tau: float, bits_per_band: int, n_bands: int = 12
+) -> dict:
+    """One measured similarity-family pass in the deployment shape from
+    README's operational map, over the grouped synth embeddings:
+
+    * index build — ``scaled_lsh_signature`` (corpus-sized buckets,
+      bits_per_band ≈ log2(n); one Arrow matmul per batch, zero
+      shuffle), materialized once (``localCheckpoint`` stands in for the
+      stored signature table; the count forces + reports it);
+    * pair generation — ``scaled_lsh_pairs`` over the stored index:
+      ids-only (band, bucket) equi-join, exact-cosine verify on the
+      candidates only, reduced by a checksum aggregate so every verified
+      pair is computed but nothing wide is collected.
+
+    The per-phase split (sig_sec vs pairs_sec) attributes any scaling
+    floor to the embarrassingly-parallel scan vs the pair shuffle."""
+    from pyspark.sql import functions as F
+
+    from log_aggregator_spark.functions import similarity as fsim
+    from log_aggregator_spark.session import unpersist_rdds
+
+    emb = spark.read.parquet(emb_path)
+    t0 = time.perf_counter()
+    sig = fsim.scaled_lsh_signature(
+        emb, n_bands=n_bands, bits_per_band=bits_per_band
+    ).localCheckpoint()
+    n_sig = sig.count()
+    t1 = time.perf_counter()
+    row = (
+        fsim.scaled_lsh_pairs(
+            emb, tau, n_bands=n_bands, bits_per_band=bits_per_band,
+            signature_df=sig,
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.pmod(F.col("vec_a") * 31 + F.col("vec_b"), F.lit(997)))
+            .alias("checksum"),
+            F.sum("n_bands").alias("band_hits"),
+        )
+        .collect()[0]
+    )
+    t2 = time.perf_counter()
+    unpersist_rdds(spark)
+    return {
+        "sec": t2 - t0,
+        "sig_sec": round(t1 - t0, 3),
+        "pairs_sec": round(t2 - t1, 3),
+        "n_sig_rows": n_sig,
+        "n_pairs": row["n_pairs"],
+        "band_hits": int(row["band_hits"]),
+        "checksum": int(row["checksum"]),
+    }
+
+
 def run_dedup_job(
     spark,
     docs_path: str,
@@ -900,6 +985,138 @@ def main_scaling_dedup(args) -> None:
     print(json.dumps(summary))
 
 
+def main_sim(args) -> None:
+    """Inner (pinned-subprocess) similarity-family measurement at one
+    parallelism level: warm-up pass, then min of --sim-runs measured
+    passes (same discipline as the dedup inner mode)."""
+    from log_aggregator_spark.session import get_spark
+
+    if args.lc_executors:
+        os.environ.setdefault("SPARK_HOME", "/opt/spark")
+        cores = f"exec_{args.lc_executors}"
+        spark = get_spark(
+            "bench-sim", cores=lc_master(args.lc_executors,
+                                         mem_mb=args.lc_mem_mb),
+            shuffle_partitions=args.shuffle_partitions or 32,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"sim_{cores}"),
+                "spark.executorEnv.PYTHONPATH": REPO,
+            },
+        )
+    else:
+        cores = args.cores or "8"
+        spark = get_spark(
+            "bench-sim", cores=cores,
+            shuffle_partitions=args.shuffle_partitions,
+            extra_conf={
+                "spark.local.dir": shm_or(args.workdir, f"sim_{cores}")},
+        )
+    path = materialize_sim_synth(spark, args.sim_docs, args.workdir)
+    run_sim_job(spark, path, args.sim_tau, args.sim_bits)  # warm-up
+    runs = sorted(
+        (
+            run_sim_job(spark, path, args.sim_tau, args.sim_bits)
+            for _ in range(args.sim_runs)
+        ),
+        key=lambda r: r["sec"],
+    )
+    best = dict(runs[0])
+    best["all_runs_sec"] = [round(r["sec"], 3) for r in runs]
+    best["sec"] = round(best["sec"], 3)
+    best["cores"] = str(cores)
+    best["vecs_per_sec"] = round(args.sim_docs / best["sec"], 1)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(best, f, indent=1)
+    print(json.dumps(best))
+    spark.stop()
+
+
+def main_scaling_sim(args) -> None:
+    """North-rule evidence for the SIMILARITY/ANN family: the identical
+    corpus-sized index build + banded pair job on the identical grouped
+    embedding corpus at two parallelism levels, pinned process trees,
+    answer equality asserted across levels. Writes the pair JSONs + a
+    summary row under BENCH/."""
+    from log_aggregator_spark.session import get_spark
+
+    os.makedirs(args.workdir, exist_ok=True)
+    if not os.path.exists(
+        os.path.join(args.workdir, f"sim_synth_{args.sim_docs}", "_DONE")
+    ):
+        spark = get_spark(
+            "bench-materialize", cores="*",
+            extra_conf={"spark.local.dir": shm_or(args.workdir, "mat")},
+        )
+        materialize_sim_synth(spark, args.sim_docs, args.workdir)
+        spark.stop()
+
+    results = {}
+    if args.skip_local_pair:
+        lo = results["exec_1"] = _run_pinned_sim(0, args, lc_executors=1)
+        hi = results["exec_4"] = _run_pinned_sim(0, args, lc_executors=4)
+        n_label, n4_label = "local-cluster[1,4]", "local-cluster[4,4]"
+        out_name = f"SIM_SCALING_{args.sim_docs}_exec.json"
+    else:
+        for cores in (args.n, args.n * 4):
+            results[cores] = _run_pinned_sim(cores, args)
+        lo, hi = results[args.n], results[args.n * 4]
+        n_label, n4_label = f"local[{args.n}]", f"local[{args.n * 4}]"
+        out_name = f"SIM_SCALING_{args.sim_docs}.json"
+    # correctness control: both levels must compute the identical answer
+    for k in ("n_sig_rows", "n_pairs", "band_hits", "checksum"):
+        assert lo[k] == hi[k], f"{k} differs across levels: {lo[k]} != {hi[k]}"
+    summary = {
+        "metric": "sim_scaling_efficiency",
+        "value": round((hi["vecs_per_sec"] / lo["vecs_per_sec"]) / 4.0, 3),
+        "unit": "ratio",
+        "n_cores": n_label,
+        "n4_cores": n4_label,
+        "vecs_per_sec_n": lo["vecs_per_sec"],
+        "vecs_per_sec_4n": hi["vecs_per_sec"],
+        "sec_n": lo["sec"],
+        "sec_4n": hi["sec"],
+        "sig_sec_n": lo["sig_sec"],
+        "sig_sec_4n": hi["sig_sec"],
+        "pairs_sec_n": lo["pairs_sec"],
+        "pairs_sec_4n": hi["pairs_sec"],
+        "sim_docs": args.sim_docs,
+        "sim_bits": args.sim_bits,
+        "n_pairs": lo["n_pairs"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
+        json.dump({"summary": summary, "levels": results}, f, indent=1)
+    print(json.dumps(summary))
+
+
+def _run_pinned_sim(cores: int, args, lc_executors: int = 0) -> dict:
+    """Pinned similarity subprocess at exactly ``cores`` CPUs (the
+    ``_pinned_subprocess`` discipline); executor mode pins 4 cores per
+    executor + 1 for the driver."""
+    tag = f"exec_{lc_executors}" if lc_executors else str(cores)
+    mode = [
+        "--sim-run",
+        "--sim-docs", str(args.sim_docs),
+        "--sim-runs", str(args.sim_runs),
+        "--sim-bits", str(args.sim_bits),
+        "--sim-tau", str(args.sim_tau),
+        "--workdir", args.workdir,
+    ]
+    if lc_executors:
+        mode += ["--lc-executors", str(lc_executors),
+                 "--lc-mem-mb", str(args.lc_mem_mb)]
+        pin_cores = 4 * lc_executors + 1
+    else:
+        mode += ["--cores", str(cores)]
+        pin_cores = cores
+    if args.shuffle_partitions:
+        mode += ["--shuffle-partitions", str(args.shuffle_partitions)]
+    return _pinned_subprocess(
+        mode, pin_cores, args.workdir, "sim_scaling", tag
+    )
+
+
 def _run_pinned_dedup(cores: int, args, lc_executors: int = 0) -> dict:
     """Pinned dedup subprocess at exactly ``cores`` CPUs (the
     ``_pinned_subprocess`` discipline); executor mode pins 4 cores per
@@ -1059,6 +1276,20 @@ if __name__ == "__main__":
                         "exact,minhash,simhash with --cc-endgame-cap 0")
     p.add_argument("--dedup-runs", type=int, default=2,
                    help="measured passes per level (min is reported)")
+    p.add_argument("--scaling-sim", action="store_true",
+                   help="N vs 4N scaling for the similarity/ANN family "
+                        "(corpus-sized LSH index build + banded pair job "
+                        "on the grouped synth embeddings)")
+    p.add_argument("--sim-run", action="store_true",
+                   help="(internal) single-level similarity measurement")
+    p.add_argument("--sim-docs", type=int, default=1_000_000)
+    p.add_argument("--sim-bits", type=int, default=20,
+                   help="bits per LSH band for the scaled index "
+                        "(size ≈ log2(sim-docs))")
+    p.add_argument("--sim-tau", type=float, default=0.99,
+                   help="cosine threshold for the verified pair set")
+    p.add_argument("--sim-runs", type=int, default=2,
+                   help="measured passes per level (min is reported)")
     p.add_argument("--scaling-stream-dedup", action="store_true",
                    help="N vs 4N scaling for the STREAMING dedup service "
                         "(foreachBatch fold over the skewed synth corpus)")
@@ -1067,7 +1298,11 @@ if __name__ == "__main__":
     p.add_argument("--stream-batches", type=int, default=8,
                    help="micro-batch count for the streaming dedup bench")
     args = p.parse_args()
-    if args.scaling_stream_dedup:
+    if args.scaling_sim:
+        main_scaling_sim(args)
+    elif args.sim_run:
+        main_sim(args)
+    elif args.scaling_stream_dedup:
         main_scaling_stream_dedup(args)
     elif args.stream_dedup_run:
         main_stream_dedup(args)

@@ -609,6 +609,108 @@ def lsh_topk(
     )
 
 
+# -------------------------------------------- corpus-sized LSH (deployment)
+# The gated 96-plane index keeps 8-bit bands so every query stays
+# expressible as the DuckDB twin (2⁸ bucket literals). But band buckets
+# must be SIZED TO THE CORPUS: with sign bits ~uniform, a band's random
+# candidate volume is ~n²/2^bits pairs, so 8-bit bands saturate past
+# ~10⁵ vectors (at n = 10⁶ they'd emit ~4×10⁹ spurious candidates per
+# band — O(n²) in disguise). The deployment rule is bits_per_band ≈
+# log2(n): 20 bits at 10⁶ vectors ⇒ ~1 spurious candidate per vector
+# per band; ~30 bits at 10⁹. Recall at fixed bits is bought with BANDS
+# (each an independent hash table), not with probes: sized-up buckets
+# put sim ≳ 0.99 near-dups (per-bit sign agreement 1 − θ/π ≈ 0.955+)
+# in the same bucket on ≥1 of 12 bands w.p. ≥ 0.998; for a lower tau,
+# add bands. These builders are Arrow-only (no per-plane SQL twin —
+# the plane matrix is ~240×64; correctness is pinned by the pytest
+# planted-pair suite and the cross-parallelism checksum in
+# `bench.py --scaling-sim` instead of a DuckDB oracle).
+
+def make_scaled_planes(
+    n_bands: int, bits_per_band: int, seed: int = 42, dim: int = DIM
+) -> np.ndarray:
+    """Hyperplane matrix for a corpus-sized index — same ×QUANT integer
+    rounding as PLANES, so every projection stays exact (|q|·|p|·DIM ≲
+    1e6 · 5e6 · 64 ≈ 3×10¹⁴ ≪ 2⁵³) and both parallelism levels of the
+    scaling bench compute bit-identical buckets."""
+    rng = np.random.default_rng(seed)
+    return np.rint(rng.standard_normal((n_bands * bits_per_band, dim)) * QUANT)
+
+
+SCALED_BITS_PER_BAND = 20  # sized for ~10⁶-vector corpora (see above)
+
+
+def scaled_lsh_signature(
+    embeddings: DataFrame,
+    n_bands: int = N_BANDS,
+    bits_per_band: int = SCALED_BITS_PER_BAND,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, band, bucket) with corpus-sized buckets — the deployment
+    form of ``lsh_signature``. Build shape is identical: one Arrow BLAS
+    matmul per batch against a constant plane matrix, narrow projection,
+    posexplode, ZERO shuffle — the embarrassingly-parallel full-corpus
+    pass. The plane matrix ships to executors once in the UDF closure
+    (~n_bands·bits·DIM·8 B ≈ 120 KB at the defaults)."""
+    planes = make_scaled_planes(n_bands, bits_per_band, seed)
+    abs_max = float(np.abs(planes).max())
+
+    @pandas_udf(ArrayType(LongType()))
+    def _bks(v: pd.Series) -> pd.Series:
+        q = _np_rows(v)
+        _check_exact(q, abs_max)
+        return pd.Series(list(pack_band_bits(q, planes, n_bands, bits_per_band)))
+
+    return (
+        _vecs(embeddings)
+        .select("vec_id", _bks(F.col("v")).alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+        .select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
+    )
+
+
+def scaled_lsh_pairs(
+    embeddings: DataFrame,
+    tau: float,
+    n_bands: int = N_BANDS,
+    bits_per_band: int = SCALED_BITS_PER_BAND,
+    seed: int = 42,
+    signature_df: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over the corpus-sized index: ids-only
+    equi-join on (band, bucket) — 24 B/row through the one pair shuffle —
+    then exact-cosine verify on candidates only, vectors re-attached once
+    per deduped pair (``_attach_vectors``). No multi-probe: probing
+    compensates UNDER-sized buckets; a corpus-sized index relies on band
+    count for recall (module comment above). ``signature_df``: a stored
+    index built by ``scaled_lsh_signature`` with the SAME
+    (n_bands, bits_per_band, seed) — the reuse seam; the recipe triple is
+    part of the index's identity exactly like the streaming dedup
+    recipe (``stream_dedup`` module header).
+    (vec_a, vec_b, n_bands, sim_x1m)."""
+    bk = (
+        signature_df
+        if signature_df is not None
+        else scaled_lsh_signature(embeddings, n_bands, bits_per_band, seed)
+    )
+    cand_ids = (
+        bk.join(
+            bk.select(F.col("vec_id").alias("nb_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .where(F.col("vec_id") < F.col("nb_id"))
+        .groupBy("vec_id", "nb_id")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    cand = _attach_vectors(cand_ids, _vecs(embeddings)).where(F.col("sim") >= tau)
+    return cand.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("nb_id").alias("vec_b"),
+        "n_bands",
+        F.floor(F.col("sim") * 1_000_000).cast("long").alias("sim_x1m"),
+    )
+
+
 # ------------------------------------------------------------------- IVF
 # The second ANN strategy the training-data brief names (IVF): a coarse
 # quantizer partitions the corpus into K_CELLS Voronoi cells; each vector

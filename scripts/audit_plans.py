@@ -125,6 +125,42 @@ def main() -> None:
                       "via codegen size(array_remove) — the pruned n2 fold "
                       "never evaluates"]))
 
+    # --- corpus-sized LSH (deployment index, bench --scaling-sim) ---------
+    from log_aggregator_spark.functions import similarity as fsim
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    ssig = fsim.scaled_lsh_signature(emb, bits_per_band=20)
+    ssplan = fmt_plan(ssig)
+    check("scaled signature zero exchange", "Exchange" not in ssplan,
+          "the corpus-sized index build must be embarrassingly parallel — "
+          "scan → Arrow matmul → explode, no shuffle anywhere")
+    check("scaled signature arrow kernel", "ArrowEvalPython" in ssplan,
+          "the scaled projection is the vectorized Arrow matmul")
+    sections.append(("scaled_lsh_signature", ssplan,
+                     ["ZERO Exchange: the one full-corpus pass shuffles "
+                      "nothing", "ArrowEvalPython matmul kernel"]))
+    spairs = fsim.scaled_lsh_pairs(emb, 0.99, bits_per_band=20)
+    spplan = fmt_plan(spairs)
+    check("scaled pairs no cartesian", "CartesianProduct" not in spplan,
+          "the scaled candidate join must be an equi-join on (band, bucket)")
+    # the real invariant, independent of Catalyst's broadcast-vs-shuffle
+    # pick at this SF: NO shuffle exchange anywhere in the pair plan
+    # carries a vector column — candidates and their dedup move ids only;
+    # vectors re-attach once per deduped pair (broadcast here, a
+    # co-partitioned join on vec_id at scale)
+    shuffles = exchange_inputs(spplan)
+    check(
+        "scaled pairs ids-only shuffle",
+        bool(shuffles)
+        and not any("v#" in x or "embedding#" in x for x in shuffles),
+        "every shuffle exchange in the pair plan moves ids only — vector "
+        "bytes re-attach once per deduped pair, never through a shuffle",
+    )
+    sections.append(("scaled_lsh_pairs", spplan,
+                     ["equi-join on (band, bucket); candidate exchanges are "
+                      "ids-only (24 B/row), vectors join once per deduped "
+                      "pair"]))
+
     # --- top-k shapes: per-partition TakeOrdered, never a global window ---
     for qname in ("ev_topk_users", "text_vocab"):
         kq = QUERIES[qname](spark, SF)
