@@ -203,6 +203,21 @@ def run_sim_job(
     )
     t2 = time.perf_counter()
     unpersist_rdds(spark)
+    # Shuffle files live in spark.local.dir (tmpfs in the scaling
+    # harness) until ContextCleaner notices the dereferenced shuffle
+    # dependencies — by default at a 30-minute periodic GC, far beyond a
+    # bench pass. At 4M vectors each pass leaves ~15 GB; warm-up + 2
+    # measured passes + five JVM heaps then overrun the box (measured: the
+    # first 4M exec_4 attempt OOM-killed the driver). Drop the Python
+    # refs and force one driver GC so the cleaner reclaims this pass's
+    # shuffles NOW — outside the timed section, the same eager-cleanup
+    # discipline unpersist_rdds applies to checkpoint blocks.
+    import gc
+
+    del sig, emb
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)  # cleaner runs async; give it a beat before the next pass
     return {
         "sec": t2 - t0,
         "sig_sec": round(t1 - t0, 3),
