@@ -224,8 +224,10 @@ def run_sim_job(
         "pairs_sec": round(t2 - t1, 3),
         "n_sig_rows": n_sig,
         "n_pairs": row["n_pairs"],
-        "band_hits": int(row["band_hits"]),
-        "checksum": int(row["checksum"]),
+        # SUM over an empty pair set is NULL (e.g. a tau above the
+        # corpus's max cosine): report zeros, don't crash on int(None)
+        "band_hits": int(row["band_hits"] or 0),
+        "checksum": int(row["checksum"] or 0),
     }
 
 

@@ -365,6 +365,11 @@ def _mm_band_buckets_pd(v: pd.Series) -> pd.Series:
     return pd.Series(list(out))
 
 
+# pure function; nondeterministic only to stop Catalyst evaluating the
+# matmul twice under the explode-inferred filter (similarity._band_buckets_nd)
+_mm_band_buckets_nd = _mm_band_buckets_pd.asNondeterministic()
+
+
 def media_feature_signature(features: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) over a (materialized) media_features table —
     zero-norm vectors are excluded FIRST (a zero vector has no sign
@@ -372,7 +377,7 @@ def media_feature_signature(features: DataFrame) -> DataFrame:
     bucket and fabricate a giant candidate block)."""
     return (
         features.where(F.col("n2") > 0)
-        .select("doc_id", _mm_band_buckets_pd(F.col("v")).alias("bks"))
+        .select("doc_id", _mm_band_buckets_nd(F.col("v")).alias("bks"))
         .select("doc_id", F.posexplode("bks").alias("band", "bucket"))
         .select("doc_id", F.col("band").cast("long").alias("band"), "bucket")
     )

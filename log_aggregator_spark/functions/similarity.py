@@ -238,6 +238,19 @@ def _band_buckets_pd(v: pd.Series) -> pd.Series:
     return pd.Series(list(out))
 
 
+# The kernel UDFs ARE pure functions; the nondeterministic flag exists to
+# stop Catalyst duplicating them: InferFiltersFromGenerate plants a
+# size(arr)>0 AND isnotnull(arr) filter under every explode of a UDF
+# result, and because a deterministic Python UDF may be collapsed through
+# that filter, the plan evaluates the WHOLE matmul twice per row (one
+# ArrowEvalPython feeding the filter, a second feeding the explode —
+# caught in review via PLANS.md). Nondeterministic expressions can't be
+# moved through filters, so the single evaluation survives with the
+# inferred filter applied after it; results are bit-identical (the flag
+# restricts optimizer moves only) and the audit now pins the node count.
+_band_buckets_nd = _band_buckets_pd.asNondeterministic()
+
+
 @pandas_udf(DoubleType())
 def _pair_dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise exact dot over two quantized vector columns (einsum per
@@ -463,7 +476,7 @@ def lsh_signature(embeddings: DataFrame, impl: str = "arrow") -> DataFrame:
     at 100 TB."""
     base = _vecs(embeddings)
     if impl == "arrow":
-        bks = _band_buckets_pd(F.col("v"))
+        bks = _band_buckets_nd(F.col("v"))  # nd: see _band_buckets_nd
     else:
         bks = F.array(*[_bucket_col(b) for b in range(N_BANDS)])
     return (
@@ -661,9 +674,11 @@ def scaled_lsh_signature(
         _check_exact(q, abs_max)
         return pd.Series(list(pack_band_bits(q, planes, n_bands, bits_per_band)))
 
+    # nondeterministic = single evaluation under the explode-inferred
+    # filter (see _band_buckets_nd); the kernel itself is pure
     return (
         _vecs(embeddings)
-        .select("vec_id", _bks(F.col("v")).alias("bks"))
+        .select("vec_id", _bks.asNondeterministic()(F.col("v")).alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
         .select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
     )
@@ -693,22 +708,10 @@ def scaled_lsh_pairs(
         if signature_df is not None
         else scaled_lsh_signature(embeddings, n_bands, bits_per_band, seed)
     )
-    cand_ids = (
-        bk.join(
-            bk.select(F.col("vec_id").alias("nb_id"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .where(F.col("vec_id") < F.col("nb_id"))
-        .groupBy("vec_id", "nb_id")
-        .agg(F.count("*").cast("long").alias("n_bands"))
-    )
-    cand = _attach_vectors(cand_ids, _vecs(embeddings)).where(F.col("sim") >= tau)
-    return cand.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("nb_id").alias("vec_b"),
-        "n_bands",
-        F.floor(F.col("sim") * 1_000_000).cast("long").alias("sim_x1m"),
-    )
+    # one pair path: the candidate join / dedup / verify / projection live
+    # in lsh_candidate_pairs; this form is exactly probes=False over the
+    # corpus-sized signature
+    return lsh_candidate_pairs(embeddings, tau, probes=False, signature_df=bk)
 
 
 # ------------------------------------------------------------------- IVF
@@ -766,6 +769,11 @@ def _ranked_cells_pd(v: pd.Series) -> pd.Series:
     scores = q @ cents.T                                 # exact
     order = np.argsort(-scores, axis=1, kind="stable").astype(np.int64)
     return pd.Series(list(order))
+
+
+# same duplicate-evaluation guard as _band_buckets_nd (the probe-cell
+# explode in ivf_probe_cells otherwise runs the 16-centroid matmul twice)
+_ranked_cells_nd = _ranked_cells_pd.asNondeterministic()
 
 
 def _cell_scores() -> Column:
@@ -834,7 +842,7 @@ def ivf_probe_cells(embeddings: DataFrame, nprobe: int = NPROBE) -> DataFrame:
     return _vecs(embeddings).select(
         "vec_id",
         F.explode(
-            F.slice(_ranked_cells_pd(F.col("v")), 1, nprobe)
+            F.slice(_ranked_cells_nd(F.col("v")), 1, nprobe)
         ).alias("cell"),
     )
 

@@ -115,6 +115,13 @@ def main() -> None:
     sgplan = fmt_plan(sgq)
     check("signature arrow kernel", "ArrowEvalPython" in sgplan,
           "the 96-plane projection must be the vectorized Arrow matmul")
+    check(
+        "signature single matmul",
+        len(re.findall(r"\(\d+\) ArrowEvalPython", sgplan)) == 1,
+        "exactly ONE ArrowEvalPython node (the nondeterministic guard "
+        "keeps Catalyst from duplicating the matmul under the "
+        "explode-inferred filter — review finding, r4)",
+    )
     check("signature no interpreted fold", "aggregate(" not in sgplan,
           "the zero-norm exclusion must be the codegen array_remove "
           "predicate — filtering on n2 > 0 would force the interpreted "
@@ -134,8 +141,14 @@ def main() -> None:
     check("scaled signature zero exchange", "Exchange" not in ssplan,
           "the corpus-sized index build must be embarrassingly parallel — "
           "scan → Arrow matmul → explode, no shuffle anywhere")
-    check("scaled signature arrow kernel", "ArrowEvalPython" in ssplan,
-          "the scaled projection is the vectorized Arrow matmul")
+    check(
+        "scaled signature single matmul",
+        len(re.findall(r"\(\d+\) ArrowEvalPython", ssplan)) == 1,
+        "exactly ONE ArrowEvalPython node: without the nondeterministic "
+        "guard Catalyst plants the explode-inferred size/isnotnull filter "
+        "UNDER a second copy of the UDF and the full matmul runs twice "
+        "per row (review finding, r4)",
+    )
     sections.append(("scaled_lsh_signature", ssplan,
                      ["ZERO Exchange: the one full-corpus pass shuffles "
                       "nothing", "ArrowEvalPython matmul kernel"]))
@@ -149,10 +162,14 @@ def main() -> None:
     # vectors re-attach once per deduped pair (broadcast here, a
     # co-partitioned join on vec_id at scale)
     shuffles = exchange_inputs(spplan)
+    # match the aliased vector columns too (va#/vb# from _attach_vectors)
+    # — a bare "v#" substring can never match "va#123", so the original
+    # form of this check could not catch the exact regression it exists
+    # for (review finding, r4); columns print after "[" or ", "
+    _vec_col = re.compile(r"[\[, ](v|va|vb|embedding)#")
     check(
         "scaled pairs ids-only shuffle",
-        bool(shuffles)
-        and not any("v#" in x or "embedding#" in x for x in shuffles),
+        bool(shuffles) and not any(_vec_col.search(x) for x in shuffles),
         "every shuffle exchange in the pair plan moves ids only — vector "
         "bytes re-attach once per deduped pair, never through a shuffle",
     )

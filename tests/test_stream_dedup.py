@@ -276,14 +276,30 @@ def test_fold_frees_all_pinned_rdds(spark, tmp_path):
 
     pdf = _corpus(30, seed=33)
     group = TableGroup(str(tmp_path / "state"))
+    # Sentinel: a pin the fold does NOT own must survive it — the fold's
+    # cleanup is scoped by a before-snapshot diff, and an over-eager
+    # unpersist_rdds(spark) without the exclude= snapshot would free
+    # another component's cached data mid-session.
+    pre_sentinel = persistent_rdd_ids(spark)
+    sentinel = spark.createDataFrame([(1,)], "x long").persist()
+    sentinel.count()
     before = persistent_rdd_ids(spark)
+    sentinel_ids = before - pre_sentinel
+    assert sentinel_ids  # the sentinel really did pin something
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[:15]), 0)
     apply_dedup_batch(spark, group, _docs_df(spark, pdf.iloc[15:]), 1)
-    # Subset, not equality: in a shared-session suite run the JVM
-    # ContextCleaner may reclaim a PRIOR test's abandoned pins between the
-    # two snapshots, shrinking the baseline. The fold's contract is only
-    # that it pins nothing NEW.
-    assert persistent_rdd_ids(spark) - before == set()
+    try:
+        # Subset, not equality: in a shared-session suite run the JVM
+        # ContextCleaner may reclaim a PRIOR test's abandoned pins between
+        # the two snapshots, shrinking the baseline. The fold's contract is
+        # that it pins nothing NEW and frees nothing it does not own.
+        after = persistent_rdd_ids(spark)
+        assert after - before == set()
+        # the sentinel is strongly referenced here, so only an explicit
+        # unpersist could have removed its blocks
+        assert sentinel_ids <= after
+    finally:
+        sentinel.unpersist()
 
 
 def test_apply_batch_parity_fuzz_random_splits(spark, tmp_path):
