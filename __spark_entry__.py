@@ -21,40 +21,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pipeline_enriched"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate samples a prefix of this dict (r1–r3
-# sampled the first 31/42/50 registry keys). These 24 queries have no
-# CORRECTNESS_r{1,2,3}.json row yet, so they are listed first to rotate
-# external coverage onto them; every query passes the identical local
-# replica of the gate regardless of order (tests/test_entry_parity.py
-# runs all 80 against their DuckDB oracles). bench.py keeps iterating
-# the canonical QUERIES order so per-query timings stay comparable
-# round-over-round (memoized seams bill their build cost to whichever
-# query in the suite touches them first).
+# The driver's correctness gate samples a prefix of this dict (r1–r4
+# sampled the first 31/42/50/50 registry keys). Round-5 rotation
+# (VERDICT r4, task 1): the 30 queries below have no CORRECTNESS_r04
+# row — crucially the similarity family, whose kernels were rewritten
+# to Arrow matmuls + trained IVF centroids in r4 AFTER their last green
+# driver row — so they are listed first (sim family at the head) to get
+# fresh external rows against the code now in the tree. Every query
+# passes the identical local replica of the gate regardless of order
+# (tests/test_entry_parity.py runs all 80 against their DuckDB
+# oracles). bench.py keeps iterating the canonical QUERIES order so
+# per-query timings stay comparable round-over-round (memoized seams
+# bill their build cost to whichever query touches them first).
 _VERIFY_FIRST = [
-    "ev_percentiles_approx",
-    "ev_asof_enrich",
-    "ev_retention",
-    "ev_profile",
-    "ev_funnel",
-    "ev_interval_errors",
-    "ev_throttle_audit",
-    "ev_rolling_active",
-    "ev_new_users",
-    "sim_centroid_update",
-    "sim_kmeans_iterate",
-    "tbl_merge_upsert",
-    "mm_dedup_media",
-    "ev_distinct_users",
-    "ev_hll_distinct",
-    "text_length_buckets",
-    "dedup_containment",
-    "tbl_time_travel",
-    "dedup_rate_by_source",
-    "text_split_assign",
-    "sim_norm_stats",
-    "mm_near_dup",
-    "tbl_incremental",
-    "ev_transitions",
+    "sim_cosine_near_dup",
+    "sim_lsh_signature",
+    "sim_lsh_pairs",
+    "sim_lsh_topk",
+    "sim_lsh_recall",
+    "sim_ivf_assign",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "sim_semantic_near_dup",
+    "text_repetition",
+    "text_domain_quota",
+    "text_corpus_mix",
+    "text_pack_sequences",
+    "text_tfidf",
+    "dedup_span",
+    "dedup_incremental",
+    "dedup_incremental_lsh",
+    "mm_media_meta",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "ev_tumbling_counts",
+    "ev_sessionize",
+    "ev_topk_users",
+    "ev_error_rate",
+    "ev_props_extract",
+    "ev_percentiles",
+    "ev_windowed_topk",
+    "ev_spikes",
+    "text_ngram_counts",
+    "mm_format_stats",
 ]
 
 
