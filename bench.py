@@ -179,8 +179,9 @@ def run_sim_job(
     from pyspark.sql import functions as F
 
     from log_aggregator_spark.functions import similarity as fsim
-    from log_aggregator_spark.session import unpersist_rdds
+    from log_aggregator_spark.session import persistent_rdd_ids, unpersist_rdds
 
+    pinned_before = persistent_rdd_ids(spark)
     emb = spark.read.parquet(emb_path)
     t0 = time.perf_counter()
     sig = fsim.scaled_lsh_signature(
@@ -195,14 +196,19 @@ def run_sim_job(
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.sum(F.pmod(F.col("vec_a") * 31 + F.col("vec_b"), F.lit(997)))
-            .alias("checksum"),
+            # order-independent WIDE digest: each pair contributes a full
+            # 32-bit murmur3 word, so a pair-content regression cannot
+            # collide with the correct value the way the old
+            # pmod(a*31+b, 997) sum (<10 bits/pair) could
+            F.sum(F.hash("vec_a", "vec_b").cast("long")).alias("checksum"),
             F.sum("n_bands").alias("band_hits"),
         )
         .collect()[0]
     )
     t2 = time.perf_counter()
-    unpersist_rdds(spark)
+    # scoped: free only what THIS pass pinned, so the helper stays safe
+    # if run_sim_job is ever reused inside a session that holds pins
+    unpersist_rdds(spark, exclude=pinned_before)
     # Shuffle files live in spark.local.dir (tmpfs in the scaling
     # harness) until ContextCleaner notices the dereferenced shuffle
     # dependencies — by default at a 30-minute periodic GC, far beyond a
@@ -270,8 +276,9 @@ def run_dedup_job(
     from pyspark.sql import functions as F
 
     from log_aggregator_spark.functions import dedup as fdedup
-    from log_aggregator_spark.session import unpersist_rdds
+    from log_aggregator_spark.session import persistent_rdd_ids, unpersist_rdds
 
+    pinned_before = persistent_rdd_ids(spark)
     docs = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
     pairs = fdedup.all_near_dup_pairs(
@@ -285,7 +292,9 @@ def run_dedup_job(
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
-            F.sum(F.col("cluster_id") % 997).alias("checksum"),
+            # wide order-independent digest (see run_sim_job): a label
+            # regression can't collide the way sum(cluster_id % 997) could
+            F.sum(F.hash("doc_id", "cluster_id").cast("long")).alias("checksum"),
         )
         .collect()[0]
     )
@@ -295,7 +304,8 @@ def run_dedup_job(
     # GC, which lags). Without this, warm-up + repeated measured runs
     # accumulate storage and each run is slower than the last — measured
     # [160.9, 194.0] at local[8] — so the min-of-N discipline breaks.
-    unpersist_rdds(spark)
+    # Scoped to this pass's pins (see run_sim_job).
+    unpersist_rdds(spark, exclude=pinned_before)
     return {
         "sec": t2 - t0,
         "pairs_sec": round(t1 - t0, 3),
@@ -323,12 +333,13 @@ def run_stream_dedup_job(
 
     from pyspark.sql import functions as F
 
-    from log_aggregator_spark.session import unpersist_rdds
+    from log_aggregator_spark.session import persistent_rdd_ids, unpersist_rdds
     from log_aggregator_spark.streaming.stream_dedup import (
         read_clusters, stream_dedup,
     )
     from log_aggregator_spark.tableio import TableGroup
 
+    pinned_before = persistent_rdd_ids(spark)
     shutil.rmtree(run_dir, ignore_errors=True)
     state_root = os.path.join(run_dir, "state")
     ckpt = os.path.join(run_dir, "ckpt")
@@ -353,12 +364,13 @@ def run_stream_dedup_job(
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("cluster_id").alias("n_clusters"),
-            F.sum(F.col("cluster_id") % 997).alias("checksum"),
+            # wide order-independent digest (see run_sim_job)
+            F.sum(F.hash("doc_id", "cluster_id").cast("long")).alias("checksum"),
         )
         .collect()[0]
     )
     n_remap = group.read_member(spark, "label_remap").count()
-    unpersist_rdds(spark)
+    unpersist_rdds(spark, exclude=pinned_before)
     return {
         "sec": t1 - t0,
         "n_batches": int(group.current_snapshot() or 0),

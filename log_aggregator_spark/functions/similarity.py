@@ -680,7 +680,23 @@ def scaled_lsh_signature(
         _vecs(embeddings)
         .select("vec_id", _bks.asNondeterministic()(F.col("v")).alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("band", "bucket"))
-        .select("vec_id", F.col("band").cast("long").alias("band"), "bucket")
+        .select(
+            "vec_id",
+            F.col("band").cast("long").alias("band"),
+            # the recipe triple IS the index's identity: stamp it as
+            # column metadata (survives localCheckpoint AND a parquet
+            # round-trip via spark's row-metadata footer key) so a stored
+            # index probed with a different recipe fails loudly in
+            # scaled_lsh_pairs instead of silently losing recall
+            F.col("bucket").alias(
+                "bucket",
+                metadata={
+                    "lsh_n_bands": n_bands,
+                    "lsh_bits_per_band": bits_per_band,
+                    "lsh_seed": seed,
+                },
+            ),
+        )
     )
 
 
@@ -703,11 +719,29 @@ def scaled_lsh_pairs(
     part of the index's identity exactly like the streaming dedup
     recipe (``stream_dedup`` module header).
     (vec_a, vec_b, n_bands, sim_x1m)."""
-    bk = (
-        signature_df
-        if signature_df is not None
-        else scaled_lsh_signature(embeddings, n_bands, bits_per_band, seed)
-    )
+    if signature_df is not None:
+        # the stored index carries its recipe as column metadata (stamped
+        # by scaled_lsh_signature); a mismatched probe recipe would yield
+        # silently wrong recall, so reject it here. Absent metadata
+        # (index built by other means) keeps the documented contract.
+        meta = dict(signature_df.schema["bucket"].metadata or {})
+        if meta and (
+            meta.get("lsh_n_bands") != n_bands
+            or meta.get("lsh_bits_per_band") != bits_per_band
+            or meta.get("lsh_seed") != seed
+        ):
+            raise ValueError(
+                "scaled_lsh_pairs: stored signature index was built with "
+                f"recipe (n_bands={meta.get('lsh_n_bands')}, "
+                f"bits_per_band={meta.get('lsh_bits_per_band')}, "
+                f"seed={meta.get('lsh_seed')}) but was probed with "
+                f"(n_bands={n_bands}, bits_per_band={bits_per_band}, "
+                f"seed={seed}); the recipe triple is part of the index's "
+                "identity — rebuild the index or probe with its recipe"
+            )
+        bk = signature_df
+    else:
+        bk = scaled_lsh_signature(embeddings, n_bands, bits_per_band, seed)
     # one pair path: the candidate join / dedup / verify / projection live
     # in lsh_candidate_pairs; this form is exactly probes=False over the
     # corpus-sized signature

@@ -89,6 +89,37 @@ def test_recipe_identity(spark, sim_synth):
     assert not a["bucket"].equals(c["bucket"])
 
 
+def test_stored_index_recipe_mismatch_rejected(spark, sim_synth, tmp_path):
+    """A stored index carries its recipe triple as column metadata; probing
+    it with a different triple raises instead of silently losing recall.
+    The metadata survives both the localCheckpoint the bench takes and a
+    full parquet round-trip (spark's row-metadata footer key)."""
+    sig = fsim.scaled_lsh_signature(sim_synth, bits_per_band=BITS).localCheckpoint()
+    # matching recipe: accepted (and still finds the planted pairs)
+    ok = fsim.scaled_lsh_pairs(
+        sim_synth, TAU, bits_per_band=BITS, signature_df=sig
+    )
+    assert ok.count() == 6 * (N_VECS // 4)
+    for kwargs in (
+        {"bits_per_band": BITS + 1},
+        {"bits_per_band": BITS, "seed": 99},
+        {"bits_per_band": BITS, "n_bands": fsim.N_BANDS - 1},
+    ):
+        with pytest.raises(ValueError, match="recipe"):
+            fsim.scaled_lsh_pairs(sim_synth, TAU, signature_df=sig, **kwargs)
+    # parquet round-trip keeps the stamp
+    p = str(tmp_path / "sig.parquet")
+    sig.write.parquet(p)
+    stored = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="recipe"):
+        fsim.scaled_lsh_pairs(
+            sim_synth, TAU, bits_per_band=BITS, seed=99, signature_df=stored
+        )
+    assert fsim.scaled_lsh_pairs(
+        sim_synth, TAU, bits_per_band=BITS, signature_df=stored
+    ).count() == 6 * (N_VECS // 4)
+
+
 def test_bucket_width_matches_recipe(spark, sim_synth):
     """Buckets stay inside [0, 2^bits) and use the full configured width
     (a packing bug that ignored high bits would still pass the planted
