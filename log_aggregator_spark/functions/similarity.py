@@ -274,6 +274,20 @@ def _pair_sim_col(va: Column, vb: Column, na: Column, nb: Column) -> Column:
     return _dot(va, vb) / F.sqrt(na * nb)
 
 
+def _pair_sim_col_i32(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """`_pair_sim_col` over int32-TRANSPORTED quantized vectors (see
+    `_attach_vectors`): each element is cast back to double before the
+    multiply, so every product, every partial sum, and the final divide
+    are the same IEEE ops on the same values as the double-array fold —
+    bit-identical sim, half the shuffle bytes."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / F.sqrt(na * nb)
+
+
 # ---------------------------------------------------------------- brute
 
 def _corpus_matrix(
@@ -523,11 +537,31 @@ def _attach_vectors(cand_ids: DataFrame, v: DataFrame) -> DataFrame:
     projection (broadcast when small, co-partitioned shuffle join on
     vec_id at scale — AQE picks). The per-pair verify dot stays JVM-side
     (measured faster than an Arrow round-trip of both arrays — see
-    _pair_dot_pd)."""
-    va = v.select(
+    _pair_dot_pd).
+
+    TRANSPORT COMPRESSION (r5): the quantized components are integer-
+    valued doubles, so they ship through the two attach shuffles as
+    ``array<int>`` — 4 B/element instead of 8 — and are cast back to
+    double inside the verify fold, keeping the IEEE op sequence (and
+    therefore every bit of ``sim``) identical to the uncompressed form.
+    This halves the byte-dominant shuffle of the whole pair job: the
+    second attach join moves n_pairs × (ids + one full vector); at 4M
+    vectors that intermediate is the single largest exchange in the
+    family (BENCH/BASELINE.md, sim scaling). Exactness of the int32
+    round-trip: |q| < 2³¹ is implied many times over by the exactness
+    screen every indexed vector already passed (`_check_exact` bounds
+    |q| ≲ 2.8×10⁷ against the plane/centroid matrices before any
+    candidate pair exists; Java double→int narrowing is exact for
+    integer-valued doubles in range)."""
+    vi = v.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x.cast("int")).alias("v"),
+        "n2",
+    )
+    va = vi.select(
         F.col("vec_id").alias("_ida"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
-    vb = v.select(
+    vb = vi.select(
         F.col("vec_id").alias("_idb"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
     return (
@@ -535,7 +569,7 @@ def _attach_vectors(cand_ids: DataFrame, v: DataFrame) -> DataFrame:
         .join(vb, cand_ids["nb_id"] == vb["_idb"])
         .withColumn(
             "sim",
-            _pair_sim_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+            _pair_sim_col_i32(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
     )
 
