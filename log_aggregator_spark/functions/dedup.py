@@ -614,7 +614,10 @@ def _components_unlocked(
     def _jump(frame: DataFrame) -> DataFrame:
         # pointer jump: label ← least(label, label(label)), looked up in the
         # CURRENT label generation. Every (contracted) label IS a node id,
-        # so the lookup join always hits.
+        # so the lookup join always hits. ``old`` (the label at the START of
+        # the round) rides along so the round's convergence flag is
+        # computable INSIDE the same plan — see _commit_round.
+        carry = [c for c in frame.columns if c not in ("label", "doc_id")]
         return (
             frame.alias("a")
             .join(
@@ -623,27 +626,30 @@ def _components_unlocked(
                 ).alias("b"),
                 "label",
             )
-            .select("doc_id", F.least("label", "ll").alias("label"))
+            .select("doc_id", F.least("label", "ll").alias("label"), *carry)
         )
 
     def _commit_round(new_labels: DataFrame) -> int:
-        # Checkpoint the next label generation, count changed labels against
-        # the current one (its LAST reader), then free the current
-        # generation's blocks. Shared by the full rounds and the endgame's
-        # jump-only rounds so the checkpoint/unpersist ordering cannot
-        # diverge between the two paths.
+        # Checkpoint the next label generation WITH its per-row changed
+        # flag (chg = label ≠ round-start label, computed in the round's
+        # own plan), then count changed rows from the just-cached blocks.
+        # The count is a filter-scan over the checkpoint — no join, no
+        # shuffle: r4's form joined each new generation against the old
+        # one to detect convergence, a full extra exchange per round that
+        # dominated the daily-shape CC floor (VERDICT r5 task 6). Shared
+        # by the full rounds and the endgame's jump-only rounds so the
+        # checkpoint/unpersist ordering cannot diverge between the paths.
         nonlocal labels, label_ids
         before = _persistent_ids()
-        new = new_labels.localCheckpoint()
+        new = new_labels.select(
+            "doc_id",
+            "label",
+            (F.col("label") != F.col("old")).alias("chg"),
+        ).localCheckpoint()
         new_ids = _persistent_ids() - before
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new.where("chg").count()
         _unpersist(label_ids)
-        labels, label_ids = new, new_ids
+        labels, label_ids = new.select("doc_id", "label"), new_ids
         return changed
 
     # pointer jumping halves label-chain depth per round → ≤ ~log2(n) rounds;
@@ -672,7 +678,7 @@ def _components_unlocked(
             # component has exactly ONE fixed point — the component min —
             # and pointer doubling reaches it in ≤ log2(depth) rounds.
             for _ in range(max_iters):
-                if _commit_round(_jump(labels)) == 0:
+                if _commit_round(_jump(labels.withColumn("old", F.col("label")))) == 0:
                     break
             else:  # pragma: no cover - chain depth halves per round
                 raise RuntimeError(
@@ -696,6 +702,7 @@ def _components_unlocked(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("old"),
         )
         changed = _commit_round(_jump(prop))
         if changed == 0:
