@@ -101,15 +101,24 @@ def media_meta(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _decode_batch(
+    pdf: pd.DataFrame, decoder: Callable[[bytes], np.ndarray] | None
+) -> pd.DataFrame:
     """One Arrow batch → features. Everything except the codec body arrived
     precomputed from the JVM (fmt, n_bytes, payload_bytes, n_frames, and
     the header-stripped ``body`` itself — substring on binary is codegen);
     the only Python-per-object work is the decode call, unavoidable for
-    any real codec."""
+    any real codec.
+
+    ``decoder`` arrives as an ARGUMENT, not the module global: executor
+    Python workers import this module fresh, so a global set on the driver
+    is invisible to them — the installed codec must be captured into the
+    UDF closure at plan-construction time (cloudpickle ships it to the
+    workers). Caught by tests/test_real_codec.py: the global-read form
+    silently ran the fake path on every executor."""
     body = pdf["body"]
-    if _DECODER is not None:
-        feats = body.map(_DECODER)  # pragma: no cover - real codec path
+    if decoder is not None:
+        feats = body.map(decoder)  # real codec path (tests/test_real_codec.py)
         checksum = pd.Series([int(f.sum()) for f in feats], index=pdf.index)
     else:
         # fake decode: sum of unicode codepoints of the decoded body —
@@ -170,10 +179,11 @@ def decode_features(documents: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extract over the media table.
     (doc_id, fmt, n_bytes, payload_bytes, checksum, n_frames)."""
     media = _with_body(_with_jvm_features(documents))
+    decoder = _DECODER  # capture NOW — see _decode_batch
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_batch(pdf)
+            yield _decode_batch(pdf, decoder)
 
     return media.mapInPandas(gen, schema=_FEATURE_SCHEMA)
 
@@ -326,12 +336,13 @@ def media_features(documents: DataFrame) -> DataFrame:
     bodies; per-object Python is the featurizer call only — the codec
     boundary, same contract as decode_features."""
     media = _with_body(attach_media(documents).select("doc_id", "media"))
+    featurizer = _FEATURIZER  # capture NOW — see _decode_batch
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _FEATURIZER is not None:  # pragma: no cover - real codec
+            if featurizer is not None:  # real codec path (tests/test_real_codec.py)
                 feats = [
-                    np.asarray(_FEATURIZER(bytes(b)), dtype=np.int64)
+                    np.asarray(featurizer(bytes(b)), dtype=np.int64)
                     for b in pdf["body"]
                 ]
             else:
