@@ -387,6 +387,47 @@ class IcebergTable:
             if k.startswith("lineage.")
         }
 
+    # ------------------------------------------------------ maintenance ops
+    # Same surface as SnapshotTable.compact/expire_snapshots so the
+    # backend-parameterized contract suite (tests/test_storage_contract.py)
+    # exercises maintenance uniformly — here they delegate to Iceberg's own
+    # procedures, which is how a real deployment runs them.
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+        """Iceberg's ``rewrite_data_files`` procedure (the engine-native
+        form of SnapshotTable.compact)."""
+        catalog = self.name.split(".", 1)[0]
+        spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{self.name}', "
+            f"options => map('target-file-size-bytes', "
+            f"'{target_file_mb * 1024 * 1024}'))"
+        )
+        return self.current_snapshot() or 0
+
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_min_age_sec: float = ORPHAN_MIN_AGE_SEC
+    ) -> dict:
+        """Iceberg's ``expire_snapshots`` + ``remove_orphan_files`` pair —
+        the engine-native form of SnapshotTable.expire_snapshots (which
+        documents the same min-age orphan guard Iceberg defaults to)."""
+        import datetime
+
+        catalog = self.name.split(".", 1)[0]
+        expired = self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{self.name}', retain_last => {keep_last})"
+        ).collect()
+        cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+            seconds=orphan_min_age_sec
+        )
+        orphans = self.spark.sql(
+            f"CALL {catalog}.system.remove_orphan_files("
+            f"table => '{self.name}', "
+            f"older_than => TIMESTAMP '{cutoff:%Y-%m-%d %H:%M:%S}')"
+        ).collect()
+        return {"expired": [r[0] for r in expired], "deleted_files": len(orphans)}
+
 
 class GroupMember:
     """Read-side handle for one table inside a :class:`TableGroup` — the
