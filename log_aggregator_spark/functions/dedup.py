@@ -657,6 +657,7 @@ def _components_unlocked(
     # 64), not a tuning knob.
     max_iters = 64
     raw_edges = True  # edges are pre-contraction until the first relabel
+    identity_labels = True  # no round committed yet ⇒ label(x) == x
     for _ in range(max_iters):
         if n_edges <= endgame_cap or n_edges == 0:
             # ---- endgame: collapse residual EDGES driver-side, then
@@ -704,7 +705,15 @@ def _components_unlocked(
             ).alias("label"),
             F.col("label").alias("old"),
         )
-        changed = _commit_round(_jump(prop))
+        # Round 1 only: the pointer jump looks labels up in the CURRENT
+        # generation, which is still the identity (ll == label), so the
+        # jump is an exact no-op — skip its corpus×corpus self-join. The
+        # stray-endpoint scrub is untouched (it lives in nbr_min's inner
+        # join, which still runs). CC profile at 1M: the round-1 commit is
+        # the single most expensive job of the whole CC (4.4 s of an
+        # 11.6 s wall); this removes one of its two corpus-sized joins.
+        changed = _commit_round(prop if identity_labels else _jump(prop))
+        identity_labels = False
         if changed == 0:
             break
         # graph contraction: relabel both endpoints by their current
