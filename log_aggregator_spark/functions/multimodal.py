@@ -404,8 +404,15 @@ def media_near_dup(
     verify on candidates only. (doc_a, doc_b, n_bands, sim_x1m).
     ``features_df``: a materialized media_features table (the reuse seam —
     at 100 TB the features are extracted once per object's life and the
-    index probes them forever)."""
-    from .similarity import _dot
+    index probes them forever).
+
+    Like the text-embedding path (`similarity._attach_vectors`), the
+    verify vectors ship through the two attach joins as ``array<int>``
+    (features are integer-valued, |component| ≤ MM_FDIM·n_bigrams ≪ 2³¹
+    for any real document) and are cast back to double inside the verify
+    fold — bit-identical sim, half the bytes through the byte-dominant
+    exchange (2 KB/vector as doubles at MM_FDIM=256)."""
+    from .similarity import _pair_sim_col_i32
 
     feats = features_df if features_df is not None else media_features(documents)
     live = feats.where(F.col("n2") > 0)
@@ -419,17 +426,23 @@ def media_near_dup(
         .groupBy("doc_id", "nb_id")
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
-    fa = live.select(
+    vi = live.select(
+        "doc_id",
+        F.transform(F.col("v"), lambda x: x.cast("int")).alias("v"),
+        "n2",
+    )
+    fa = vi.select(
         F.col("doc_id").alias("_ida"), F.col("v").alias("va"), F.col("n2").alias("na")
     )
-    fb = live.select(
+    fb = vi.select(
         F.col("doc_id").alias("_idb"), F.col("v").alias("vb"), F.col("n2").alias("nb")
     )
     cand = (
         cand_ids.join(fa, cand_ids["doc_id"] == fa["_ida"])
         .join(fb, cand_ids["nb_id"] == fb["_idb"])
         .withColumn(
-            "sim", _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
+            "sim",
+            _pair_sim_col_i32(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
         )
     )
     return cand.where(F.col("sim") >= tau).select(
