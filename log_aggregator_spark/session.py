@@ -84,6 +84,16 @@ def get_spark(
         # per-sink fan-out write, which produces many files by design.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    if master.startswith("local-cluster["):
+        # local-cluster[N, cores, mem_mb] sizes the WORKER's allocatable
+        # memory only; the executor JVM heap still comes from
+        # spark.executor.memory (default 1g). Without this, every
+        # "12 GB executor" in the scaling harness actually ran -Xmx1024M —
+        # found when a corpus-sized single micro-batch kept losing
+        # executors (exit 143) however high the worker memory was set.
+        # Claim the worker's whole grant for the executor heap.
+        mem_mb = int(master.rstrip("]").split(",")[2])
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
